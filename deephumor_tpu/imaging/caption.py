@@ -1,0 +1,184 @@
+"""Impact-style meme caption renderer.
+
+Behavioral contract matches the reference renderer
+(/root/reference/deephumor/imaging/caption.py): uppercase text, maximal font
+fitted to the image width, greedy word-preserving line wrap, black border
+drawn as an offset grid of ``font_size // 18`` px under white fill, top text
+anchored at the top and bottom text at ``0.987 * height``.
+
+Reimplemented for Pillow >= 10: the removed ``font.getsize`` /
+``draw.textsize`` APIs are replaced by ``getbbox``-based measurement that
+reproduces the legacy (width, height-with-offset) numbers, so line-wrap and
+layout decisions match the reference pixel-for-pixel with the same font.
+"""
+
+import os
+
+from PIL import Image, ImageDraw, ImageFont
+
+__all__ = ["memeify_image", "get_maximal_font", "split_to_lines", "caption_image"]
+
+# Default font: an Impact-style bold face. The reference ships impact.ttf
+# (reference fonts/impact.ttf); we resolve a font in this order so the
+# renderer works out of the box on any host.
+_FONT_CANDIDATES = (
+    os.path.join(os.path.dirname(__file__), "fonts", "impact.ttf"),
+    "/usr/share/fonts/truetype/msttcorefonts/Impact.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+)
+
+
+def default_font_path():
+    for path in _FONT_CANDIDATES:
+        if os.path.exists(path):
+            return path
+    raise FileNotFoundError(
+        "No usable meme font found; pass font_path= explicitly"
+    )
+
+
+def _text_size(text, font):
+    """(width, height) of ``text`` in ``font``, legacy-getsize compatible.
+
+    Pillow's legacy ``getsize`` returned ``(width, bottom)`` of the bbox at
+    origin; ``getbbox`` gives (x0, y0, x1, y1) so width=x1, height=y1.
+    """
+    left, top, right, bottom = font.getbbox(text)
+    return right, bottom
+
+
+def get_maximal_font(img, text, font_size=64, text_width=0.94, font_path=None):
+    """Largest font size (starting at ``font_size``, decreasing) such that
+    ``text`` fits in ``text_width`` of the image width.
+
+    Parity: reference caption.py:41-64.
+    """
+    font_path = font_path or default_font_path()
+    font = ImageFont.truetype(font_path, font_size)
+    w, _ = _text_size(text, font)
+    while w > img.width * text_width and font_size > 1:
+        font_size -= 1
+        font = ImageFont.truetype(font_path, font_size)
+        w, _ = _text_size(text, font)
+    return font
+
+
+def _get_initial_font(img, texts, max_chars=20, font_path=None):
+    """Initial font: sized for a 'G'*min(longest_text, max_chars) line at
+    height/5.4 (reference caption.py:66-89)."""
+    max_len = max(map(len, texts))
+    max_len = max_len if max_len < max_chars else max_chars
+    longest_text = "G" * max_len
+    font_size = int(img.height / 5.4)
+    return get_maximal_font(img, longest_text, font_size, font_path=font_path)
+
+
+def _get_final_font(img, text_lines, font_path=None):
+    """Refit the font over all wrapped lines (reference caption.py:92-115)."""
+    font_path = font_path or default_font_path()
+    font_size = int(img.height / 5.4) // max(map(len, text_lines))
+    font = ImageFont.truetype(font_path, font_size)
+
+    flat = [text for lines in text_lines for text in lines]
+    widths = [_text_size(t, font)[0] for t in flat]
+    longest_text = flat[widths.index(max(widths))]
+    return get_maximal_font(img, longest_text, font_size, font_path=font_path)
+
+
+def split_to_lines(img, text, font):
+    """Greedy word-preserving wrap of ``text`` into image-width lines.
+
+    Parity: reference caption.py:118-173 — the estimated line count comes
+    from total text width; cut points land on spaces; a line that still
+    overflows 95% of the width backs off by one word.
+    """
+    draw = ImageDraw.Draw(img)
+    text = text.upper()
+    w, _ = _text_size(text, font)
+
+    line_count = 1
+    if w > img.width:
+        line_count = w // img.width + 1
+
+    lines = []
+    if line_count > 1:
+        last_cut = 0
+        is_last = False
+        for i in range(line_count):
+            cut = (len(text) // line_count) * i if last_cut == 0 else last_cut
+            if i < line_count - 1:
+                next_cut = (len(text) // line_count) * (i + 1)
+            else:
+                next_cut = len(text)
+                is_last = True
+
+            # do not cut words in half; if the text has no further space
+            # (one giant word), hard-cut mid-word instead of the reference's
+            # unbounded scan (caption.py:155-157 IndexError — documented fix)
+            if not (next_cut == len(text) or text[next_cut] == " "):
+                space = text.find(" ", next_cut)
+                next_cut = space if space != -1 else next_cut
+
+            line = text[cut:next_cut].strip()
+
+            # back off by a word if the line still overflows
+            w, _ = _text_size(line, font)
+            if not is_last and w > img.width * 0.95:
+                prev_space = text.rfind(" ", 0, next_cut)
+                if prev_space > cut:
+                    next_cut = prev_space
+
+            last_cut = next_cut
+            lines.append(text[cut:next_cut].strip())
+    else:
+        lines.append(text)
+
+    return lines
+
+
+def caption_image(img, text_lines, font, pos="top"):
+    """Draws text lines with black border + white fill.
+
+    Parity: reference caption.py:176-215 — border is a full offset grid of
+    ``font.size // 18`` px; bottom block anchored at ``0.987 * height``.
+    """
+    draw = ImageDraw.Draw(img)
+    _, h = _text_size(text_lines[0], font)
+
+    border_size = font.size // 18
+
+    last_y = -h
+    if pos == "bottom":
+        last_y = img.height * 0.987 - h * (len(text_lines) + 1) - border_size
+
+    for line in text_lines:
+        w, h = _text_size(line, font)
+        x = img.width / 2 - w / 2
+        y = last_y + h
+
+        for xx in range(-border_size, border_size + 1):
+            for yy in range(-border_size, border_size + 1):
+                draw.text((x + xx, y + yy), line, (0, 0, 0), font=font)
+        draw.text((x, y), line, (255, 255, 255), font=font)
+
+        last_y = y
+
+    return img
+
+
+def memeify_image(img, top="", bottom="", font_path=None):
+    """Adds top/bottom captions to a copy of ``img``.
+
+    Parity: reference caption.py:9-38.
+    """
+    img = img.copy()
+    font_path = font_path or default_font_path()
+
+    font = _get_initial_font(img, texts=[top, bottom], font_path=font_path)
+    top_lines = split_to_lines(img, top, font)
+    bottom_lines = split_to_lines(img, bottom, font)
+    font = _get_final_font(img, [top_lines, bottom_lines], font_path=font_path)
+
+    img = caption_image(img, top_lines, font, "top")
+    img = caption_image(img, bottom_lines, font, "bottom")
+    return img

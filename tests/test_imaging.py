@@ -1,0 +1,84 @@
+"""Tests for the meme caption renderer."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from deephumor_tpu.imaging import (
+    caption_image,
+    default_font_path,
+    get_maximal_font,
+    memeify_image,
+    split_to_lines,
+)
+
+
+@pytest.fixture
+def img():
+    # mid-gray canvas so both black border and white fill change pixels
+    return Image.new("RGB", (400, 300), (128, 128, 128))
+
+
+def test_default_font_resolves():
+    assert default_font_path()
+
+
+def test_memeify_returns_new_image(img):
+    out = memeify_image(img, top="hello", bottom="world")
+    assert out is not img
+    # original untouched
+    assert np.asarray(img).std() == 0
+
+
+def test_memeify_draws_black_and_white(img):
+    out = np.asarray(memeify_image(img, top="top text", bottom="bottom text"))
+    flat = out.reshape(-1, 3)
+    assert (flat == 255).all(axis=1).any(), "white fill missing"
+    assert (flat == 0).all(axis=1).any(), "black border missing"
+
+
+def test_memeify_top_vs_bottom_position(img):
+    top_only = np.asarray(memeify_image(img, top="aaaa"))
+    bot_only = np.asarray(memeify_image(img, bottom="aaaa"))
+    h = img.height
+    # top text paints the upper half only; bottom text the lower half only
+    assert (top_only[: h // 2] != 128).any()
+    assert (top_only[h // 2 :] == 128).all()
+    assert (bot_only[h // 2 :] != 128).any()
+    assert (bot_only[: h // 2] == 128).all()
+
+
+def test_memeify_deterministic(img):
+    a = np.asarray(memeify_image(img, top="same text", bottom="every time"))
+    b = np.asarray(memeify_image(img, top="same text", bottom="every time"))
+    assert (a == b).all()
+
+
+def test_split_to_lines_short_text_single_line(img):
+    font = get_maximal_font(img, "G" * 20, font_size=int(img.height / 5.4))
+    lines = split_to_lines(img, "short", font)
+    assert lines == ["SHORT"]
+
+
+def test_split_to_lines_wraps_long_text_preserving_words(img):
+    font = get_maximal_font(img, "G" * 20, font_size=int(img.height / 5.4))
+    text = "this is a rather long caption that must wrap onto lines"
+    lines = split_to_lines(img, text, font)
+    assert len(lines) > 1
+    # no word split in half: rejoining with spaces gives the original words
+    rejoined = " ".join(" ".join(lines).split())
+    assert rejoined == text.upper()
+
+
+def test_get_maximal_font_fits_width(img):
+    font = get_maximal_font(img, "WWWWWWWWWW", font_size=100)
+    left, top, right, bottom = font.getbbox("WWWWWWWWWW")
+    assert right <= img.width * 0.94
+
+
+def test_caption_image_uppercases(img):
+    # lowercase input renders: split_to_lines uppercases
+    lines = split_to_lines(img, "lower", get_maximal_font(img, "GGGGG", 40))
+    assert lines == ["LOWER"]
+    out = caption_image(img.copy(), lines, get_maximal_font(img, "GGGGG", 40))
+    assert (np.asarray(out) != 128).any()
