@@ -1,0 +1,416 @@
+"""Transformer decoders (cross-attention and decoder-only variants).
+
+Functional rebuild of the reference transformer stack
+(/root/reference/deephumor/models/transformers.py):
+
+- post-LN vanilla blocks, learned positional embeddings,
+- token embeddings *divided* by sqrt(hid_dim) (transformers.py:286,462,713 —
+  divide, not multiply; a reference quirk the checkpoints bake in),
+- boolean masks filled with -1e8 before softmax (transformers.py:113-117),
+- ``TransformerDecoder``: prepends the global image embedding as position 0
+  and cross-attends over the 49 spatial embeddings; the reference pads
+  decoder input and encoder output to a common length to satisfy its
+  equal-length MHA (transformers.py:449-452) — the full forward here
+  reproduces that exactly for training/logit parity,
+- ``SelfAttentionTransformerDecoder``: same minus cross-attention.
+
+The reference's ``generate`` re-runs the full forward over a max_len buffer
+every step (transformers.py:547-573, no KV cache). Here the decode path is
+an incremental per-position step over K/V caches (see ``decode_step``),
+mathematically identical on the greedy path because masked key positions
+contribute exactly 0 attention weight (exp(-1e8 - max) underflows to 0 in
+f32), and designed to run under a single jitted ``lax.scan``
+(deephumor_tpu/models/sampling.py).
+
+The per-head scale sqrt(head_dim) and embedding scale sqrt(hid_dim) are
+computed from hyperparameters rather than stored (the reference keeps them
+as non-trainable checkpoint params, transformers.py:77-80 — constants with
+fixed values; the converter drops them).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.models import layers as L
+
+__all__ = [
+    "mha_init",
+    "mha_apply",
+    "pff_init",
+    "pff_apply",
+    "transformer_decoder_init",
+    "transformer_decoder_forward",
+    "self_attn_decoder_init",
+    "self_attn_decoder_forward",
+    "init_cache",
+    "precompute_cross_attention",
+    "decode_step",
+    "MASK_FILL",
+]
+
+MASK_FILL = -1e8
+
+
+# ---------------------------------------------------------------------------
+# Attention / feed-forward primitives
+# ---------------------------------------------------------------------------
+
+def mha_init(key, hid_dim, dtype=jnp.float32):
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "fc_q": L.linear_init(kq, hid_dim, hid_dim, dtype),
+        "fc_k": L.linear_init(kk, hid_dim, hid_dim, dtype),
+        "fc_v": L.linear_init(kv, hid_dim, hid_dim, dtype),
+        "fc_o": L.linear_init(ko, hid_dim, hid_dim, dtype),
+    }
+
+
+def _split_heads(x, n_heads):
+    bs, t, d = x.shape
+    return x.reshape(bs, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    bs, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(bs, t, h * hd)
+
+
+def mha_apply(params, query, key, value, n_heads, mask=None,
+              dropout=0.0, train=False, rng=None):
+    """Multi-head attention.
+
+    Args:
+        query/key/value: ``[bs, Tq|Tk, D]``.
+        mask: bool ``[bs, Tq, Tk]``, True = masked out (-1e8 fill).
+
+    Returns: ``[bs, Tq, D]``.
+    """
+    head_dim = query.shape[-1] // n_heads
+    scale = math.sqrt(head_dim)
+
+    q = _split_heads(L.linear(params["fc_q"], query), n_heads)
+    k = _split_heads(L.linear(params["fc_k"], key), n_heads)
+    v = _split_heads(L.linear(params["fc_v"], value), n_heads)
+
+    energy = jnp.einsum("bhqd,bhkd->bhqk", q, k) / scale
+    if mask is not None:
+        energy = jnp.where(mask[:, None, :, :], MASK_FILL, energy)
+    attn = jax.nn.softmax(energy, axis=-1)
+    if train and dropout > 0.0:
+        attn = L.dropout(rng, attn, dropout, train)
+    out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", attn, v))
+    return L.linear(params["fc_o"], out)
+
+
+def pff_init(key, hid_dim, pf_dim, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc_1": L.linear_init(k1, hid_dim, pf_dim, dtype),
+        "fc_2": L.linear_init(k2, pf_dim, hid_dim, dtype),
+    }
+
+
+def pff_apply(params, x, dropout=0.0, train=False, rng=None):
+    h = jax.nn.relu(L.linear(params["fc_1"], x))
+    if train and dropout > 0.0:
+        h = L.dropout(rng, h, dropout, train)
+    return L.linear(params["fc_2"], h)
+
+
+# ---------------------------------------------------------------------------
+# Mask helpers (parity: transformers.py:12-40)
+# ---------------------------------------------------------------------------
+
+def get_pad_mask(query_ids, key_ids, pad_index=0):
+    """Bool ``[bs, Tq, Tk]``: True where the key position is padding."""
+    mask = key_ids == pad_index
+    return jnp.broadcast_to(
+        mask[:, None, :], (query_ids.shape[0], query_ids.shape[1], key_ids.shape[1])
+    )
+
+
+def get_autoregressive_mask(bs, seq_len):
+    """Bool upper-triangular ``[bs, T, T]``: True above the diagonal."""
+    tri = jnp.triu(jnp.ones((seq_len, seq_len), jnp.bool_), k=1)
+    return jnp.broadcast_to(tri[None], (bs, seq_len, seq_len))
+
+
+# ---------------------------------------------------------------------------
+# Layer blocks (post-LN)
+# ---------------------------------------------------------------------------
+
+def _decoder_layer_init(key, hid_dim, pf_dim, cross_attention, dtype):
+    keys = jax.random.split(key, 3)
+    params = {
+        "self_attn": mha_init(keys[0], hid_dim, dtype),
+        "self_attn_ln": L.layer_norm_init(hid_dim, dtype),
+        "pf": pff_init(keys[1], hid_dim, pf_dim, dtype),
+        "pf_ln": L.layer_norm_init(hid_dim, dtype),
+    }
+    if cross_attention:
+        params["enc_attn"] = mha_init(keys[2], hid_dim, dtype)
+        params["enc_attn_ln"] = L.layer_norm_init(hid_dim, dtype)
+    return params
+
+
+def _decoder_layer_apply(params, x, n_heads, enc_out=None, input_mask=None,
+                         enc_mask=None, dropout=0.0, train=False, rng=None):
+    rngs = jax.random.split(rng, 6) if train and rng is not None else [None] * 6
+
+    attn = mha_apply(params["self_attn"], x, x, x, n_heads, input_mask,
+                     dropout, train, rngs[0])
+    attn = L.dropout(rngs[1], attn, dropout, train) if train else attn
+    x = L.layer_norm(params["self_attn_ln"], x + attn)
+
+    if "enc_attn" in params:
+        attn = mha_apply(params["enc_attn"], x, enc_out, enc_out, n_heads,
+                         enc_mask, dropout, train, rngs[2])
+        attn = L.dropout(rngs[3], attn, dropout, train) if train else attn
+        x = L.layer_norm(params["enc_attn_ln"], x + attn)
+
+    ff = pff_apply(params["pf"], x, dropout, train, rngs[4])
+    ff = L.dropout(rngs[5], ff, dropout, train) if train else ff
+    return L.layer_norm(params["pf_ln"], x + ff)
+
+
+# ---------------------------------------------------------------------------
+# Decoder stacks
+# ---------------------------------------------------------------------------
+
+def _stack_init(key, num_tokens, hid_dim, n_layers, pf_dim, max_len,
+                cross_attention, dtype):
+    keys = jax.random.split(key, n_layers + 3)
+    params = {
+        "tok_embedding": L.embedding_init(keys[0], num_tokens, hid_dim, dtype),
+        "pos_embedding": L.embedding_init(keys[1], max_len, hid_dim, dtype),
+        "layers": [
+            _decoder_layer_init(keys[2 + i], hid_dim, pf_dim,
+                                cross_attention, dtype)
+            for i in range(n_layers)
+        ],
+        "classifier": L.linear_init(keys[2 + n_layers], hid_dim, num_tokens,
+                                    dtype),
+    }
+    return params
+
+
+def transformer_decoder_init(key, num_tokens, hid_dim=512, n_layers=6,
+                             pf_dim=2048, max_len=128, dtype=jnp.float32):
+    """Cross-attention decoder params (reference TransformerDecoder)."""
+    return _stack_init(key, num_tokens, hid_dim, n_layers, pf_dim, max_len,
+                       cross_attention=True, dtype=dtype)
+
+
+def self_attn_decoder_init(key, num_tokens, hid_dim=512, n_layers=6,
+                           pf_dim=2048, max_len=128, dtype=jnp.float32):
+    """Decoder-only params (reference SelfAttentionTransformerDecoder)."""
+    return _stack_init(key, num_tokens, hid_dim, n_layers, pf_dim, max_len,
+                       cross_attention=False, dtype=dtype)
+
+
+def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
+                                pad_index=0, dropout=0.0, train=False,
+                                rng=None):
+    """Full teacher-forced forward with cross-attention.
+
+    Reproduces the reference exactly (transformers.py:432-490), including
+    padding decoder tokens and encoder outputs to a common length and
+    deriving the encoder key mask from all-zero rows.
+
+    Args:
+        tokens: ``[bs, T]`` token ids.
+        enc_out: ``[bs, T_enc, D]`` spatial image embeddings.
+        start_emb: ``[bs, D]`` global image embedding (position 0).
+
+    Returns:
+        logits ``[bs, max(T+1, T_enc), num_tokens]``.
+    """
+    bs, t = tokens.shape
+    enc_len, hid_dim = enc_out.shape[1], enc_out.shape[2]
+    dec_seq_len = t + 1  # start_emb occupies position 0
+    seq_len = max(dec_seq_len, enc_len)
+
+    # pad both streams to the common length (transformers.py:449-452)
+    tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - dec_seq_len)),
+                     constant_values=pad_index)
+    enc_out = jnp.pad(enc_out, ((0, 0), (0, seq_len - enc_len), (0, 0)))
+
+    scale = math.sqrt(hid_dim)
+    tok_emb = L.embed(params["tok_embedding"], tokens)
+    tok_emb = jnp.concatenate([start_emb[:, None, :], tok_emb], axis=1)
+    tok_emb = tok_emb / scale
+
+    pos = jnp.arange(seq_len)[None, :]
+    emb = tok_emb + L.embed(params["pos_embedding"], pos)
+
+    rngs = jax.random.split(rng, len(params["layers"]) + 1) \
+        if train and rng is not None else [None] * (len(params["layers"]) + 1)
+    if train:
+        emb = L.dropout(rngs[-1], emb, dropout, train)
+
+    # masks: the start position counts as a real token (id 1 placeholder,
+    # transformers.py:473-475)
+    ids_with_start = jnp.concatenate(
+        [jnp.ones((bs, 1), tokens.dtype), tokens], axis=1
+    )
+    input_mask = get_pad_mask(ids_with_start, ids_with_start, pad_index) | \
+        get_autoregressive_mask(bs, seq_len)
+
+    # encoder key mask from all-zero rows (transformers.py:480-481)
+    enc_valid = jnp.all(enc_out != 0.0, axis=-1).astype(jnp.int32)
+    enc_mask = get_pad_mask(ids_with_start, enc_valid, pad_index)
+
+    x = emb
+    for i, layer in enumerate(params["layers"]):
+        x = _decoder_layer_apply(layer, x, n_heads, enc_out, input_mask,
+                                 enc_mask, dropout, train, rngs[i])
+    return L.linear(params["classifier"], x)
+
+
+def self_attn_decoder_forward(params, tokens, start_emb, n_heads,
+                              pad_index=0, dropout=0.0, train=False,
+                              rng=None):
+    """Full teacher-forced forward, decoder-only variant
+    (parity: transformers.py:687-738)."""
+    bs, t = tokens.shape
+    hid_dim = start_emb.shape[-1]
+    seq_len = t + 1
+
+    scale = math.sqrt(hid_dim)
+    tok_emb = L.embed(params["tok_embedding"], tokens)
+    tok_emb = jnp.concatenate([start_emb[:, None, :], tok_emb], axis=1)
+    tok_emb = tok_emb / scale
+
+    pos = jnp.arange(seq_len)[None, :]
+    emb = tok_emb + L.embed(params["pos_embedding"], pos)
+
+    rngs = jax.random.split(rng, len(params["layers"]) + 1) \
+        if train and rng is not None else [None] * (len(params["layers"]) + 1)
+    if train:
+        emb = L.dropout(rngs[-1], emb, dropout, train)
+
+    ids_with_start = jnp.concatenate(
+        [jnp.ones((bs, 1), tokens.dtype), tokens], axis=1
+    )
+    input_mask = get_pad_mask(ids_with_start, ids_with_start, pad_index) | \
+        get_autoregressive_mask(bs, seq_len)
+
+    x = emb
+    for i, layer in enumerate(params["layers"]):
+        x = _decoder_layer_apply(layer, x, n_heads, input_mask=input_mask,
+                                 dropout=dropout, train=train, rng=rngs[i])
+    return L.linear(params["classifier"], x)
+
+
+# ---------------------------------------------------------------------------
+# Incremental decode with KV caches (the TPU-native generation path)
+# ---------------------------------------------------------------------------
+
+def init_cache(params, bs, max_positions, dtype=jnp.float32):
+    """Per-layer self-attention K/V caches ``[bs, max_positions, D]``."""
+    hid_dim = params["tok_embedding"]["table"].shape[1]
+    return [
+        {
+            "k": jnp.zeros((bs, max_positions, hid_dim), dtype),
+            "v": jnp.zeros((bs, max_positions, hid_dim), dtype),
+        }
+        for _ in params["layers"]
+    ]
+
+
+def precompute_cross_attention(params, enc_out):
+    """Per-layer cross-attention keys/values over the (fixed) encoder
+    output — computed once per generation instead of per step."""
+    cross = []
+    for layer in params["layers"]:
+        if "enc_attn" not in layer:
+            cross.append(None)
+        else:
+            cross.append(
+                {
+                    "ek": L.linear(layer["enc_attn"]["fc_k"], enc_out),
+                    "ev": L.linear(layer["enc_attn"]["fc_v"], enc_out),
+                }
+            )
+    return cross
+
+
+def _cached_attention(attn_params, x, cache_k, cache_v, n_heads, key_mask):
+    """Single-query attention against cached keys/values.
+
+    Args:
+        x: query ``[bs, D]``.
+        cache_k/cache_v: ``[bs, T, D]`` (already projected).
+        key_mask: bool ``[bs, T]``, True = masked.
+    """
+    bs, t, d = cache_k.shape
+    head_dim = d // n_heads
+    scale = math.sqrt(head_dim)
+
+    q = L.linear(attn_params["fc_q"], x).reshape(bs, n_heads, 1, head_dim)
+    k = cache_k.reshape(bs, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+    v = cache_v.reshape(bs, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    energy = jnp.einsum("bhqd,bhkd->bhqk", q, k) / scale
+    energy = jnp.where(key_mask[:, None, None, :], MASK_FILL, energy)
+    attn = jax.nn.softmax(energy, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v).reshape(bs, d)
+    return L.linear(attn_params["fc_o"], out)
+
+
+def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
+                n_heads, cross=None, enc_key_mask=None):
+    """One incremental decode position.
+
+    Args:
+        params: decoder stack params.
+        token_emb_scaled: ``[bs, D]`` — the position's input embedding
+            already divided by sqrt(hid_dim) (start_emb/scale for position 0,
+            embed(token)/scale otherwise).
+        pos: scalar int32 — absolute position (indexes pos_embedding).
+        cache: list from :func:`init_cache`; K/V written at ``pos``.
+        self_key_valid: bool ``[bs, max_positions]`` — True where the cached
+            position holds a real (non-pad) token at index <= pos. Replaces
+            the reference's pad+autoregressive masks in incremental form.
+        cross: optional list from :func:`precompute_cross_attention`.
+        enc_key_mask: optional bool ``[bs, T_enc]``, True = masked encoder
+            row (the reference masks all-zero rows).
+
+    Returns:
+        (logits ``[bs, num_tokens]``, updated cache)
+    """
+    x = token_emb_scaled + L.embed(params["pos_embedding"], pos)
+    key_mask = ~self_key_valid
+
+    new_cache = []
+    for i, layer in enumerate(params["layers"]):
+        k_new = L.linear(layer["self_attn"]["fc_k"], x)
+        v_new = L.linear(layer["self_attn"]["fc_v"], x)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(
+            cache[i]["k"], k_new[:, None, :], pos, axis=1
+        )
+        cache_v = jax.lax.dynamic_update_slice_in_dim(
+            cache[i]["v"], v_new[:, None, :], pos, axis=1
+        )
+        new_cache.append({"k": cache_k, "v": cache_v})
+
+        attn = _cached_attention(
+            layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask
+        )
+        x = L.layer_norm(layer["self_attn_ln"], x + attn)
+
+        if "enc_attn" in layer:
+            attn = _cached_attention(
+                layer["enc_attn"], x, cross[i]["ek"], cross[i]["ev"],
+                n_heads, enc_key_mask,
+            )
+            x = L.layer_norm(layer["enc_attn_ln"], x + attn)
+
+        ff = pff_apply(layer["pf"], x)
+        x = L.layer_norm(layer["pf_ln"], x + ff)
+
+    logits = L.linear(params["classifier"], x)
+    return logits, new_cache
