@@ -1,0 +1,603 @@
+"""The four caption-generation models.
+
+Functional rebuild of /root/reference/deephumor/models/caption_models.py:
+
+- ``CaptioningLSTM`` (caption_models.py:9-98): ImageEncoder(global) ->
+  LSTMDecoder.
+- ``CaptioningLSTMWithLabels`` (caption_models.py:101-195):
+  ImageLabelEncoder -> LSTMDecoder with the decoder token embedding SHARED
+  with the label encoder's table (caption_models.py:125) — the pytree
+  stores the table once (under the encoder) and wires it into the decoder
+  at apply time, so training keeps them tied by construction.
+- ``CaptioningTransformerBase`` (caption_models.py:198-327):
+  ImageEncoder(global) -> decoder-only transformer.
+- ``CaptioningTransformer`` (caption_models.py:330-461):
+  ImageEncoder(spatial) -> cross-attention transformer over the 49 spatial
+  embeddings.
+
+Each model is a small dataclass of hyperparameters with pure
+``init/forward/generate`` methods; ``generate`` runs the batched
+jitted-scan engine (deephumor_tpu/models/sampling.py) over KV caches /
+carried LSTM state instead of the reference's per-step Python loops.
+``encode`` is exposed separately so serving can cache the per-template
+image features once and generate thousands of captions against them
+(SURVEY.md §7.7).
+
+Checkpoints: ``save``/``from_pretrained`` use the framework-native npz
+format (deephumor_tpu/utils/pytree.py); ``from_torch`` consumes the
+reference's ``.pth`` payload via deephumor_tpu/convert/torch_import.py.
+
+Known divergence (documented): the reference LSTM beam search mis-aligns
+surviving (h, c) states once any branch has ended — rnn_models.py:135-137
+expands the state beam-fold per branch but indexes it with candidate-list
+positions, which no longer correspond after ended branches collapse to a
+single candidate. This engine gathers survivor states correctly.
+"""
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data.vocab import EOS_ID, PAD_ID, UNK_ID
+from deephumor_tpu.models import layers as L
+from deephumor_tpu.models import lstm as lstm_mod
+from deephumor_tpu.models import transformer as tfm
+from deephumor_tpu.models.encoders import (
+    image_encoder_apply,
+    image_encoder_init,
+    image_label_encoder_apply,
+    image_label_encoder_init,
+)
+from deephumor_tpu.models.sampling import beam_search
+from deephumor_tpu.utils.pytree import load_params, save_params
+
+__all__ = [
+    "CaptioningLSTM",
+    "CaptioningLSTMWithLabels",
+    "CaptioningTransformerBase",
+    "CaptioningTransformer",
+    "MODEL_REGISTRY",
+]
+
+
+def _tile_tree(tree, beam):
+    """Repeats every leaf's batch axis 0 ``beam`` times (item-major:
+    [b0, b0, ..., b1, b1, ...]), matching flat index ``item * beam + j``."""
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, beam, axis=0), tree
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
+                       top_k, greedy, eos_index):
+    """One compiled end-to-end generation program per (model hyperparams,
+    static sampler config). Models are frozen dataclasses, so they hash into
+    the cache key; params/inputs/key/temperature stay dynamic — re-calling
+    with new weights, images, or temperature hits the same executable."""
+
+    def fn(params, x, key, caption, temperature):
+        if from_images:
+            enc = (
+                model.encode(params, *x)
+                if isinstance(x, tuple)
+                else model.encode(params, x)
+            )
+        else:
+            enc = x
+        return model._generate_impl(
+            params, enc, key, caption, temperature,
+            max_len=max_len, beam_size=beam_size, top_k=top_k,
+            greedy=greedy, eos_index=eos_index, prefix_len=prefix_len,
+        )
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# LSTM family
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CaptioningLSTM:
+    """LSTM captioner conditioned on the global image embedding."""
+
+    num_tokens: int
+    emb_dim: int = 256
+    hidden_size: int = 512
+    num_layers: int = 2
+    enc_dropout: float = 0.3
+    dec_dropout: float = 0.1
+
+    model_type = "captioning_lstm"
+    with_labels = False
+
+    def hp(self):
+        return dataclasses.asdict(self)
+
+    def init(self, key):
+        k_enc, k_dec = jax.random.split(key)
+        return {
+            "encoder": image_encoder_init(k_enc, self.emb_dim),
+            "decoder": lstm_mod.lstm_decoder_init(
+                k_dec, self.num_tokens, self.emb_dim, self.hidden_size,
+                self.num_layers,
+            ),
+        }
+
+    # -- training ----------------------------------------------------------
+    def forward(self, params, images, captions, lengths=None, train=False,
+                rng=None):
+        """Teacher-forced logits ``[bs, T+1, num_tokens]``
+        (parity: caption_models.py:42-46)."""
+        if train:
+            r_enc, r_dec = jax.random.split(rng)
+            emb, new_enc = image_encoder_apply(
+                params["encoder"], images, dropout=self.enc_dropout,
+                train=True, rng=r_enc,
+            )
+            logits = lstm_mod.lstm_decoder_forward(
+                params["decoder"], emb, captions,
+                dropout=self.dec_dropout, train=True, rng=r_dec,
+            )
+            return logits, dict(params, encoder=new_enc)
+        emb = image_encoder_apply(params["encoder"], images)
+        return lstm_mod.lstm_decoder_forward(params["decoder"], emb, captions)
+
+    # -- inference ---------------------------------------------------------
+    def encode(self, params, images):
+        """Global image embedding ``[bs, emb_dim]`` (cacheable per
+        template)."""
+        return image_encoder_apply(params["encoder"], images)
+
+    def _decoder_embedding(self, params):
+        return params["decoder"]["embedding"]
+
+    def _prefill(self, params, emb, prefix):
+        inputs = emb[:, None, :]
+        if prefix is not None:
+            tok = L.embed(self._decoder_embedding(params), prefix)
+            inputs = jnp.concatenate([inputs, tok], axis=1)
+        outs, (h, c) = lstm_mod.lstm_forward(params["decoder"]["lstm"], inputs)
+        logits = L.linear(params["decoder"]["classifier"], outs[:, -1])
+        # batch-first state for the engine's axis-0 gathers
+        state = {"h": jnp.swapaxes(h, 0, 1), "c": jnp.swapaxes(c, 0, 1)}
+        return logits, state
+
+    def _make_step(self, params):
+        def step(state, tokens):
+            x = L.embed(self._decoder_embedding(params), tokens)
+            h = jnp.swapaxes(state["h"], 0, 1)
+            c = jnp.swapaxes(state["c"], 0, 1)
+            out, (h, c) = lstm_mod.lstm_step(
+                params["decoder"]["lstm"], x, h, c
+            )
+            logits = L.linear(params["decoder"]["classifier"], out)
+            return logits, {
+                "h": jnp.swapaxes(h, 0, 1),
+                "c": jnp.swapaxes(c, 0, 1),
+            }
+
+        return step
+
+    def _generate_impl(self, params, emb, key, caption, temperature, *,
+                       max_len, beam_size, top_k, greedy, eos_index,
+                       prefix_len):
+        logits, state = self._prefill(params, emb, caption)
+        state = _tile_tree(state, beam_size)
+        return beam_search(
+            key, self._make_step(params), state, logits,
+            beam_size=beam_size, top_k=top_k, temperature=temperature,
+            max_len=max_len, prefix=caption, prefix_len=prefix_len,
+            greedy=greedy, eos_index=eos_index,
+        )
+
+    def generate_from_emb(self, params, emb, key=None, caption=None,
+                          max_len=25, temperature=1.0, beam_size=10,
+                          top_k=50, eos_index=EOS_ID, greedy=False):
+        """Batched generation from (possibly cached) image embeddings."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        prefix_len = 0 if caption is None else caption.shape[1]
+        fn = _compiled_generate(
+            self, False, prefix_len, max_len, beam_size, top_k, greedy,
+            eos_index,
+        )
+        return fn(params, emb, key, caption, temperature)
+
+    def generate(self, params, images, key=None, caption=None, max_len=25,
+                 temperature=1.0, beam_size=10, top_k=50,
+                 eos_index=EOS_ID, greedy=False):
+        """Generates captions for a batch of images
+        (API parity: caption_models.py:48-74, batched)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        prefix_len = 0 if caption is None else caption.shape[1]
+        fn = _compiled_generate(
+            self, True, prefix_len, max_len, beam_size, top_k, greedy,
+            eos_index,
+        )
+        return fn(params, images, key, caption, temperature)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, params, path):
+        save_params(path, params, {"model_type": self.model_type, **self.hp()})
+
+    @classmethod
+    def from_pretrained(cls, path):
+        params, hp = load_params(path)
+        hp = dict(hp)
+        hp.pop("model_type", None)
+        return cls(**hp), params
+
+    @classmethod
+    def from_torch(cls, ckpt_path):
+        """Loads a reference ``.pth`` checkpoint
+        (caption_models.py:83-98 contract)."""
+        from deephumor_tpu.convert.torch_import import load_torch_checkpoint
+
+        params, hp = load_torch_checkpoint(ckpt_path, cls.model_type)
+        return cls(**hp), params
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptioningLSTMWithLabels(CaptioningLSTM):
+    """LSTM captioner conditioned on image + template label; decoder token
+    embedding is the label encoder's table (caption_models.py:125)."""
+
+    model_type = "captioning_lstm_labels"
+    with_labels = True
+
+    def init(self, key):
+        k_enc, k_dec = jax.random.split(key)
+        params = {
+            "encoder": image_label_encoder_init(
+                k_enc, self.num_tokens, self.emb_dim
+            ),
+            "decoder": lstm_mod.lstm_decoder_init(
+                k_dec, self.num_tokens, self.emb_dim, self.hidden_size,
+                self.num_layers,
+            ),
+        }
+        # single source of truth for the shared table
+        del params["decoder"]["embedding"]
+        return params
+
+    def _decoder_embedding(self, params):
+        return params["encoder"]["label_encoder"]["embedding"]
+
+    def forward(self, params, images, captions, lengths=None, labels=None,
+                train=False, rng=None):
+        decoder = dict(
+            params["decoder"], embedding=self._decoder_embedding(params)
+        )
+        if train:
+            r_enc, r_dec = jax.random.split(rng)
+            emb, new_enc = image_label_encoder_apply(
+                params["encoder"], images, labels,
+                dropout=self.enc_dropout, train=True, rng=r_enc,
+            )
+            logits = lstm_mod.lstm_decoder_forward(
+                decoder, emb, captions,
+                dropout=self.dec_dropout, train=True, rng=r_dec,
+            )
+            return logits, dict(params, encoder=new_enc)
+        emb = image_label_encoder_apply(params["encoder"], images, labels)
+        return lstm_mod.lstm_decoder_forward(decoder, emb, captions)
+
+    def encode(self, params, images, labels=None):
+        return image_label_encoder_apply(params["encoder"], images, labels)
+
+    def _prefill(self, params, emb, prefix):
+        decoder = dict(
+            params["decoder"], embedding=self._decoder_embedding(params)
+        )
+        inputs = emb[:, None, :]
+        if prefix is not None:
+            tok = L.embed(decoder["embedding"], prefix)
+            inputs = jnp.concatenate([inputs, tok], axis=1)
+        outs, (h, c) = lstm_mod.lstm_forward(decoder["lstm"], inputs)
+        logits = L.linear(decoder["classifier"], outs[:, -1])
+        return logits, {"h": jnp.swapaxes(h, 0, 1), "c": jnp.swapaxes(c, 0, 1)}
+
+    def generate(self, params, images, labels=None, key=None, caption=None,
+                 max_len=25, temperature=1.0, beam_size=10, top_k=50,
+                 eos_index=EOS_ID, greedy=False):
+        """Generates captions for images + label token batches
+        (API parity: caption_models.py:144-171, batched)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        prefix_len = 0 if caption is None else caption.shape[1]
+        fn = _compiled_generate(
+            self, True, prefix_len, max_len, beam_size, top_k, greedy,
+            eos_index,
+        )
+        return fn(params, (images, labels), key, caption, temperature)
+
+
+# ---------------------------------------------------------------------------
+# Transformer family
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CaptioningTransformerBase:
+    """Decoder-only transformer captioner on the global image embedding."""
+
+    num_tokens: int
+    hid_dim: int = 512
+    n_layers: int = 6
+    n_heads: int = 8
+    pf_dim: int = 2048
+    enc_dropout: float = 0.3
+    dec_dropout: float = 0.1
+    pad_index: int = 0
+    max_len: int = 128
+
+    model_type = "captioning_transformer_base"
+    with_labels = False
+    cross_attention = False
+
+    def hp(self):
+        return dataclasses.asdict(self)
+
+    def init(self, key):
+        k_enc, k_dec = jax.random.split(key)
+        init_fn = (
+            tfm.transformer_decoder_init
+            if self.cross_attention
+            else tfm.self_attn_decoder_init
+        )
+        return {
+            "encoder": image_encoder_init(k_enc, self.hid_dim),
+            "decoder": init_fn(
+                k_dec, self.num_tokens, self.hid_dim, self.n_layers,
+                self.pf_dim, self.max_len,
+            ),
+        }
+
+    # -- training ----------------------------------------------------------
+    def forward(self, params, images, captions, lengths=None, train=False,
+                rng=None):
+        """Teacher-forced logits (parity: caption_models.py:259-278)."""
+        if train:
+            r_enc, r_dec = jax.random.split(rng)
+            emb, new_enc = image_encoder_apply(
+                params["encoder"], images, dropout=self.enc_dropout,
+                train=True, rng=r_enc,
+            )
+            logits = tfm.self_attn_decoder_forward(
+                params["decoder"], captions, emb, self.n_heads,
+                pad_index=self.pad_index, dropout=self.dec_dropout,
+                train=True, rng=r_dec,
+            )
+            return logits, dict(params, encoder=new_enc)
+        emb = image_encoder_apply(params["encoder"], images)
+        return tfm.self_attn_decoder_forward(
+            params["decoder"], captions, emb, self.n_heads,
+            pad_index=self.pad_index,
+        )
+
+    # -- inference ---------------------------------------------------------
+    def encode(self, params, images):
+        return image_encoder_apply(params["encoder"], images)
+
+    def _prefill_and_state(self, params, enc, prefix, max_positions):
+        """Feeds start_emb (+ prefix tokens) through decode_step, building
+        cache/valid state. ``enc`` is the encode() output."""
+        start_emb = enc
+        bs = start_emb.shape[0]
+        scale = math.sqrt(self.hid_dim)
+
+        cache = tfm.init_cache(params["decoder"], bs, max_positions)
+        valid = jnp.zeros((bs, max_positions), bool).at[:, 0].set(True)
+
+        logits, cache = tfm.decode_step(
+            params["decoder"], start_emb / scale, jnp.int32(0), cache,
+            valid, self.n_heads,
+        )
+        pos = 1
+        if prefix is not None:
+            for i in range(prefix.shape[1]):
+                tok = prefix[:, i]
+                valid = valid.at[:, pos].set(tok != self.pad_index)
+                emb = L.embed(params["decoder"]["tok_embedding"], tok) / scale
+                logits, cache = tfm.decode_step(
+                    params["decoder"], emb, jnp.int32(pos), cache, valid,
+                    self.n_heads,
+                )
+                pos += 1
+
+        state = {
+            "cache": cache,
+            "valid": valid,
+            "pos": jnp.full((bs,), pos, jnp.int32),
+        }
+        return logits, state
+
+    def _make_step(self, params):
+        scale = math.sqrt(self.hid_dim)
+
+        def step(state, tokens):
+            pos = state["pos"][0]
+            valid = state["valid"].at[:, pos].set(tokens != self.pad_index)
+            emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
+            logits, cache = tfm.decode_step(
+                params["decoder"], emb, pos, state["cache"], valid,
+                self.n_heads,
+            )
+            return logits, {
+                "cache": cache,
+                "valid": valid,
+                "pos": state["pos"] + 1,
+            }
+
+        return step
+
+    def _generate_impl(self, params, enc, key, caption, temperature, *,
+                       max_len, beam_size, top_k, greedy, eos_index,
+                       prefix_len):
+        max_positions = max_len + 1
+        logits, state = self._prefill_and_state(
+            params, enc, caption, max_positions
+        )
+        state = _tile_tree(state, beam_size)
+        return beam_search(
+            key, self._make_step(params), state, logits,
+            beam_size=beam_size, top_k=top_k, temperature=temperature,
+            max_len=max_len, prefix=caption, prefix_len=prefix_len,
+            greedy=greedy, eos_index=eos_index, pad_index=self.pad_index,
+        )
+
+    def generate_from_emb(self, params, enc, key=None, caption=None,
+                          max_len=25, temperature=1.0, beam_size=10,
+                          top_k=50, eos_index=EOS_ID, greedy=False):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # the positional table bounds total positions (start emb + tokens);
+        # the reference would index past its table here (a latent upstream
+        # IndexError at max_len=128 with char models) — we clamp instead
+        max_len = min(max_len, self.max_len - 1)
+        prefix_len = 0 if caption is None else caption.shape[1]
+        fn = _compiled_generate(
+            self, False, prefix_len, max_len, beam_size, top_k, greedy,
+            eos_index,
+        )
+        return fn(params, enc, key, caption, temperature)
+
+    def generate(self, params, images, key=None, caption=None, max_len=25,
+                 temperature=1.0, beam_size=10, top_k=50,
+                 eos_index=EOS_ID, greedy=False):
+        """Batched caption generation
+        (API parity: caption_models.py:280-306)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        max_len = min(max_len, self.max_len - 1)
+        prefix_len = 0 if caption is None else caption.shape[1]
+        fn = _compiled_generate(
+            self, True, prefix_len, max_len, beam_size, top_k, greedy,
+            eos_index,
+        )
+        return fn(params, images, key, caption, temperature)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, params, path):
+        save_params(path, params, {"model_type": self.model_type, **self.hp()})
+
+    @classmethod
+    def from_pretrained(cls, path):
+        params, hp = load_params(path)
+        hp = dict(hp)
+        hp.pop("model_type", None)
+        return cls(**hp), params
+
+    @classmethod
+    def from_torch(cls, ckpt_path):
+        from deephumor_tpu.convert.torch_import import load_torch_checkpoint
+
+        params, hp = load_torch_checkpoint(ckpt_path, cls.model_type)
+        return cls(**hp), params
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptioningTransformer(CaptioningTransformerBase):
+    """Cross-attention transformer captioner over spatial image features."""
+
+    model_type = "captioning_transformer"
+    cross_attention = True
+
+    def forward(self, params, images, captions, lengths=None, train=False,
+                rng=None):
+        """Teacher-forced logits (parity: caption_models.py:393-406)."""
+        if train:
+            r_enc, r_dec = jax.random.split(rng)
+            (emb, spatial), new_enc = image_encoder_apply(
+                params["encoder"], images, spatial_features=True,
+                dropout=self.enc_dropout, train=True, rng=r_enc,
+            )
+            logits = tfm.transformer_decoder_forward(
+                params["decoder"], captions, spatial, emb, self.n_heads,
+                pad_index=self.pad_index, dropout=self.dec_dropout,
+                train=True, rng=r_dec,
+            )
+            return logits, dict(params, encoder=new_enc)
+        emb, spatial = image_encoder_apply(
+            params["encoder"], images, spatial_features=True
+        )
+        return tfm.transformer_decoder_forward(
+            params["decoder"], captions, spatial, emb, self.n_heads,
+            pad_index=self.pad_index,
+        )
+
+    def encode(self, params, images):
+        """Returns (global emb, spatial emb) — both cacheable."""
+        return image_encoder_apply(
+            params["encoder"], images, spatial_features=True
+        )
+
+    def _prefill_and_state(self, params, enc, prefix, max_positions):
+        start_emb, spatial = enc
+        bs = start_emb.shape[0]
+        scale = math.sqrt(self.hid_dim)
+
+        cache = tfm.init_cache(params["decoder"], bs, max_positions)
+        valid = jnp.zeros((bs, max_positions), bool).at[:, 0].set(True)
+        cross = tfm.precompute_cross_attention(params["decoder"], spatial)
+        # the reference masks all-zero encoder rows (transformers.py:480)
+        enc_key_mask = ~jnp.all(spatial != 0.0, axis=-1)
+
+        logits, cache = tfm.decode_step(
+            params["decoder"], start_emb / scale, jnp.int32(0), cache,
+            valid, self.n_heads, cross=cross, enc_key_mask=enc_key_mask,
+        )
+        pos = 1
+        if prefix is not None:
+            for i in range(prefix.shape[1]):
+                tok = prefix[:, i]
+                valid = valid.at[:, pos].set(tok != self.pad_index)
+                emb = L.embed(params["decoder"]["tok_embedding"], tok) / scale
+                logits, cache = tfm.decode_step(
+                    params["decoder"], emb, jnp.int32(pos), cache, valid,
+                    self.n_heads, cross=cross, enc_key_mask=enc_key_mask,
+                )
+                pos += 1
+
+        state = {
+            "cache": cache,
+            "valid": valid,
+            "pos": jnp.full((bs,), pos, jnp.int32),
+            "cross": cross,
+            "enc_key_mask": enc_key_mask,
+        }
+        return logits, state
+
+    def _make_step(self, params):
+        scale = math.sqrt(self.hid_dim)
+
+        def step(state, tokens):
+            pos = state["pos"][0]
+            valid = state["valid"].at[:, pos].set(tokens != self.pad_index)
+            emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
+            logits, cache = tfm.decode_step(
+                params["decoder"], emb, pos, state["cache"], valid,
+                self.n_heads, cross=state["cross"],
+                enc_key_mask=state["enc_key_mask"],
+            )
+            return logits, dict(
+                state, cache=cache, valid=valid, pos=state["pos"] + 1
+            )
+
+        return step
+
+
+MODEL_REGISTRY = {
+    cls.model_type: cls
+    for cls in (
+        CaptioningLSTM,
+        CaptioningLSTMWithLabels,
+        CaptioningTransformerBase,
+        CaptioningTransformer,
+    )
+}

@@ -1,0 +1,232 @@
+"""Batched beam-search generation engine.
+
+TPU-native replacement for the reference's per-step Python beam loops
+(/root/reference/deephumor/models/beam.py, rnn_models.py:48-143,
+transformers.py:492-579 and 740-825). The entire token loop runs inside one
+jitted ``lax.scan`` with static shapes: no per-step host syncs, no full
+re-forward per step (decoders step over KV caches / carried LSTM state), and
+the batch axis carries ``num_items * beam_size`` sequences at once.
+
+Semantics reproduced from the reference sampler:
+
+- top-k logit filtering keeping ties, UNK always masked (beam.py:32-37),
+- temperature softmax + multinomial WITHOUT replacement for both the
+  per-branch candidate draw and the survivor draw (beam.py:39-48; torch
+  ``multinomial(p, k)`` defaults to no replacement). Implemented as
+  Gumbel-top-k, which samples exactly the same distribution with explicit
+  ``jax.random`` keys,
+- per-step candidate scores = log_softmax over the k *gathered* logits
+  (beam.py:79-80 — normalized over the sampled set, a reference quirk kept),
+- ended branches contribute a single pad-token/score-0 continuation
+  (beam.py:84-95): expressed statically as a [beam, beam] candidate matrix
+  whose ended rows keep only column 0 (extra columns weighted -inf, which
+  leaves the softmax unchanged — exact, not approximate),
+- final output drawn from the surviving scores (rnn_models.py:140-142).
+
+A deterministic ``greedy`` mode (argmax everywhere, UNK masked) is the
+parity surface: on a beam of 1 it reproduces "repeated argmax of the
+reference forward" token-for-token.
+
+The engine is model-agnostic: the decoder is a ``step_fn(state, tokens) ->
+(logits, state)`` whose state pytree leaves carry the flat
+``num_items * beam`` batch on axis 0.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data.vocab import EOS_ID, PAD_ID, UNK_ID
+
+__all__ = ["filter_top_k", "gumbel_top_k", "beam_search"]
+
+NEG_INF = -jnp.inf
+
+
+def filter_top_k(logits, top_k, unk_index=UNK_ID):
+    """Keeps logits >= the k-th largest (ties kept), masks UNK.
+
+    Parity: reference beam.py:32-37 (everything below the k-th value and
+    the UNK column become -inf).
+    """
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    filtered = jnp.where(logits < kth, NEG_INF, logits)
+    return filtered.at[..., unk_index].set(NEG_INF)
+
+
+def gumbel_top_k(key, log_weights, k):
+    """Samples k indices without replacement ~ softmax(log_weights).
+
+    Gumbel-top-k: adding iid Gumbel noise and taking the top-k indices
+    draws exactly the same joint distribution as sequential multinomial
+    sampling without replacement (torch's default). -inf weights are never
+    selected (provided k <= #finite entries).
+    """
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, log_weights.shape, minval=1e-20, maxval=1.0)
+    ))
+    perturbed = jnp.where(jnp.isfinite(log_weights),
+                          log_weights + gumbel, NEG_INF)
+    return jax.lax.top_k(perturbed, k)[1]
+
+
+def _select_k(key, log_weights, k, greedy):
+    """Top-k indices: deterministic (greedy) or Gumbel-sampled."""
+    if greedy:
+        return jax.lax.top_k(log_weights, k)[1]
+    return gumbel_top_k(key, log_weights, k)
+
+
+def _log_softmax_gathered(filtered_logits, idx):
+    """Per-branch log_softmax over the k gathered logit values
+    (the reference's score normalization, beam.py:79-80)."""
+    gathered = jnp.take_along_axis(filtered_logits, idx, axis=-1)
+    return gathered - jax.nn.logsumexp(gathered, axis=-1, keepdims=True)
+
+
+def _flat_take(tree, idx):
+    """Gathers axis-0 (flat batch) of every state leaf."""
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), tree)
+
+
+def beam_search(
+    key,
+    step_fn,
+    state,
+    init_logits,
+    *,
+    beam_size,
+    top_k,
+    temperature,
+    max_len,
+    prefix=None,
+    prefix_len=0,
+    greedy=False,
+    eos_index=EOS_ID,
+    unk_index=UNK_ID,
+    pad_index=PAD_ID,
+):
+    """Runs batched stochastic/greedy beam search.
+
+    Args:
+        key: PRNG key (ignored when ``greedy``).
+        step_fn: ``(state, tokens[B*beam]) -> (logits[B*beam, V], state)``;
+            state leaves are batched on axis 0 and already tiled to
+            ``B * beam`` (every beam starts from the same prefill state).
+        state: initial decoder state (post-prefill, tiled).
+        init_logits: ``[B, V]`` logits predicting the first generated token
+            (output of the prefill over image embedding + optional prefix).
+        beam_size, top_k, temperature: sampler hyperparameters
+            (``beam_size <= top_k`` as in the reference).
+        max_len: total output length including any prefix (static).
+        prefix: optional ``[B, prefix_len]`` fixed beginning tokens.
+        prefix_len: its static length.
+        greedy: deterministic argmax mode (parity surface).
+
+    Returns:
+        dict with ``sequences [B, beam, max_len]``, ``scores [B, beam]``,
+        ``chosen [B, max_len]`` (the reference's single sampled output),
+        ``ended [B, beam]``.
+    """
+    if beam_size > top_k:
+        raise ValueError(
+            f"beam_size ({beam_size}) must be <= top_k ({top_k})"
+        )
+    num_items, vocab = init_logits.shape
+    beam = beam_size
+    inv_t = 1.0 / temperature
+
+    k_init, k_scan, k_final = jax.random.split(key, 3)
+
+    # --- initial draw: beam tokens from the prefill logits (one branch) ---
+    filtered = filter_top_k(init_logits, top_k, unk_index)
+    first_idx = _select_k(k_init, filtered * inv_t, beam, greedy)  # [B, beam]
+    first_val = _log_softmax_gathered(filtered, first_idx)
+
+    seq = jnp.full((num_items, beam, max_len), pad_index, jnp.int32)
+    if prefix is not None and prefix_len > 0:
+        seq = seq.at[:, :, :prefix_len].set(
+            jnp.broadcast_to(prefix[:, None, :], (num_items, beam, prefix_len))
+        )
+    seq = seq.at[:, :, prefix_len].set(first_idx)
+    val = first_val
+    ended = first_idx == eos_index
+
+    # candidate bookkeeping for the [beam, beam] static candidate matrix
+    col = jnp.arange(beam)
+
+    # token for generated step s sits at seq[:, :, prefix_len + s];
+    # the scan iterates s = 1 .. steps-1 (step 0 drawn above)
+    steps = max_len - prefix_len
+
+    def body(carry, xs):
+        dec_state, seq, val, ended, s = carry
+        step_key = jax.random.fold_in(k_scan, s)
+
+        pos = prefix_len + s - 1
+        last = jax.lax.dynamic_index_in_dim(seq, pos, axis=2, keepdims=False)
+
+        logits, dec_state = step_fn(dec_state, last.reshape(-1))
+        logits = logits.reshape(num_items, beam, vocab)
+
+        filtered = filter_top_k(logits, top_k, unk_index)
+
+        # per-branch candidate draw: beam tokens per live branch
+        new_idx = _select_k(
+            jax.random.fold_in(step_key, 0),
+            filtered * inv_t,
+            beam,
+            greedy,
+        )  # [B, beam, beam]
+        new_val = _log_softmax_gathered(filtered, new_idx)
+
+        # ended branches: single pad/0-score continuation in column 0
+        new_idx = jnp.where(ended[..., None], pad_index, new_idx)
+        new_val = jnp.where(ended[..., None], 0.0, new_val)
+        valid = jnp.where(
+            ended[..., None], col[None, None, :] == 0, True
+        )  # [B, beam, beam]
+
+        cand_val = val[..., None] + new_val
+        cand_weight = jnp.where(valid, cand_val * inv_t, NEG_INF)
+
+        # survivor draw over the flattened candidate set
+        flat_weight = cand_weight.reshape(num_items, beam * beam)
+        surv = _select_k(
+            jax.random.fold_in(step_key, 1), flat_weight, beam, greedy
+        )  # [B, beam]
+        branch = surv // beam
+
+        flat_idx = new_idx.reshape(num_items, beam * beam)
+        flat_val = cand_val.reshape(num_items, beam * beam)
+        chosen_tok = jnp.take_along_axis(flat_idx, surv, axis=1)
+        val = jnp.take_along_axis(flat_val, surv, axis=1)
+
+        # reorder sequences/flags by surviving branch, append token
+        seq = jnp.take_along_axis(seq, branch[..., None], axis=1)
+        ended = jnp.take_along_axis(ended, branch, axis=1)
+        seq = jax.lax.dynamic_update_index_in_dim(
+            seq, chosen_tok, prefix_len + s, axis=2
+        )
+        ended = ended | (chosen_tok == eos_index)
+
+        # shuffle decoder state to surviving branches (flat batch gather)
+        flat_branch = (
+            jnp.arange(num_items)[:, None] * beam + branch
+        ).reshape(-1)
+        dec_state = _flat_take(dec_state, flat_branch)
+
+        return (dec_state, seq, val, ended, s + 1), None
+
+    if steps > 1:
+        (state, seq, val, ended, _), _ = jax.lax.scan(
+            body,
+            (state, seq, val, ended, jnp.int32(1)),
+            None,
+            length=steps - 1,
+        )
+
+    # final pick among surviving branches (rnn_models.py:140-142)
+    final_idx = _select_k(k_final, val * inv_t, 1, greedy)[:, 0]
+    chosen = jnp.take_along_axis(seq, final_idx[:, None, None], axis=1)[:, 0]
+
+    return {"sequences": seq, "scores": val, "chosen": chosen, "ended": ended}

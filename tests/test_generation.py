@@ -1,0 +1,233 @@
+"""Generation engine tests.
+
+The load-bearing property: greedy decode through the incremental KV-cache /
+carried-state path must token-for-token equal repeated argmax over the full
+teacher-forced forward (which is itself parity-tested against torch). Plus
+sampler-semantics unit tests against numpy oracles (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data.vocab import EOS_ID, PAD_ID, UNK_ID
+from deephumor_tpu.models import lstm as lstm_mod
+from deephumor_tpu.models import transformer as tfm
+from deephumor_tpu.models.caption_models import (
+    CaptioningLSTM,
+    CaptioningTransformer,
+    CaptioningTransformerBase,
+)
+from deephumor_tpu.models.sampling import beam_search, filter_top_k, gumbel_top_k
+
+VOCAB = 30
+MAX_LEN = 12
+
+
+def _truncate_at_eos(seq):
+    seq = list(np.asarray(seq))
+    if EOS_ID in seq:
+        return seq[: seq.index(EOS_ID) + 1]
+    return seq
+
+
+def _greedy_oracle_lstm(params, emb, max_len):
+    """Argmax loop over the full forward (UNK masked), per item."""
+    tokens = np.zeros((emb.shape[0], 0), np.int32)
+    out = []
+    for t in range(max_len):
+        logits = lstm_mod.lstm_decoder_forward(
+            params, emb, jnp.asarray(tokens)
+        )[:, -1]
+        logits = logits.at[:, UNK_ID].set(-np.inf)
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        out.append(nxt)
+        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+    return np.stack(out, axis=1)
+
+
+class TestGreedyKVCacheEquivalence:
+    def test_lstm(self):
+        model = CaptioningLSTM(
+            num_tokens=VOCAB, emb_dim=8, hidden_size=12, num_layers=2
+        )
+        key = jax.random.PRNGKey(0)
+        dec = lstm_mod.lstm_decoder_init(
+            jax.random.PRNGKey(1), VOCAB, 8, 12, 2
+        )
+        params = {"decoder": dec}
+        emb = jax.random.normal(jax.random.PRNGKey(2), (3, 8))
+
+        res = model.generate_from_emb(
+            params, emb, key=key, max_len=MAX_LEN, beam_size=1,
+            top_k=VOCAB, greedy=True,
+        )
+        oracle = _greedy_oracle_lstm(dec, emb, MAX_LEN)
+        for b in range(3):
+            assert _truncate_at_eos(res["chosen"][b]) == _truncate_at_eos(
+                oracle[b]
+            )
+
+    @pytest.mark.parametrize("cross", [False, True])
+    def test_transformer(self, cross):
+        cls = CaptioningTransformer if cross else CaptioningTransformerBase
+        model = cls(
+            num_tokens=VOCAB, hid_dim=16, n_layers=2, n_heads=4, pf_dim=24,
+            max_len=MAX_LEN + 4,
+        )
+        init = (
+            tfm.transformer_decoder_init
+            if cross
+            else tfm.self_attn_decoder_init
+        )
+        dec = init(jax.random.PRNGKey(3), VOCAB, 16, 2, 24, MAX_LEN + 4)
+        params = {"decoder": dec}
+        start_emb = jax.random.normal(jax.random.PRNGKey(4), (2, 16))
+        spatial = jax.random.normal(jax.random.PRNGKey(5), (2, 5, 16))
+        enc = (start_emb, spatial) if cross else start_emb
+
+        res = model.generate_from_emb(
+            params, enc, key=jax.random.PRNGKey(0), max_len=MAX_LEN,
+            beam_size=1, top_k=VOCAB, greedy=True,
+        )
+
+        # oracle: argmax over the full (quirk-reproducing) forward
+        tokens = np.zeros((2, 0), np.int32)
+        oracle = []
+        for t in range(MAX_LEN):
+            if cross:
+                logits = tfm.transformer_decoder_forward(
+                    dec, jnp.asarray(tokens), spatial, start_emb, n_heads=4
+                )[:, t]
+            else:
+                logits = tfm.self_attn_decoder_forward(
+                    dec, jnp.asarray(tokens), start_emb, n_heads=4
+                )[:, t]
+            logits = logits.at[:, UNK_ID].set(-np.inf)
+            nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+            oracle.append(nxt)
+            tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+        oracle = np.stack(oracle, axis=1)
+
+        for b in range(2):
+            assert _truncate_at_eos(res["chosen"][b]) == _truncate_at_eos(
+                oracle[b]
+            ), f"item {b}: {res['chosen'][b]} vs {oracle[b]}"
+
+    def test_greedy_with_prefix(self):
+        model = CaptioningTransformerBase(
+            num_tokens=VOCAB, hid_dim=16, n_layers=2, n_heads=4, pf_dim=24,
+            max_len=MAX_LEN + 4,
+        )
+        dec = tfm.self_attn_decoder_init(
+            jax.random.PRNGKey(6), VOCAB, 16, 2, 24, MAX_LEN + 4
+        )
+        params = {"decoder": dec}
+        start_emb = jax.random.normal(jax.random.PRNGKey(7), (1, 16))
+        prefix = jnp.asarray([[7, 9]], jnp.int32)
+
+        res = model.generate_from_emb(
+            params, start_emb, key=jax.random.PRNGKey(0), caption=prefix,
+            max_len=MAX_LEN, beam_size=1, top_k=VOCAB, greedy=True,
+        )
+        chosen = np.asarray(res["chosen"][0])
+        assert chosen[:2].tolist() == [7, 9]
+
+        # continuation must equal the no-cache oracle seeded with the prefix
+        tokens = np.asarray(prefix)
+        for t in range(2, MAX_LEN):
+            logits = tfm.self_attn_decoder_forward(
+                dec, jnp.asarray(tokens), start_emb, n_heads=4
+            )[:, t]
+            logits = logits.at[:, UNK_ID].set(-np.inf)
+            nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+            tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+        assert _truncate_at_eos(chosen) == _truncate_at_eos(tokens[0])
+
+    def test_batch_independence(self):
+        # generating a batch must equal generating items one by one
+        model = CaptioningLSTM(
+            num_tokens=VOCAB, emb_dim=8, hidden_size=12, num_layers=2
+        )
+        dec = lstm_mod.lstm_decoder_init(jax.random.PRNGKey(8), VOCAB, 8, 12, 2)
+        params = {"decoder": dec}
+        emb = jax.random.normal(jax.random.PRNGKey(9), (4, 8))
+
+        batch = model.generate_from_emb(
+            params, emb, max_len=MAX_LEN, beam_size=1, top_k=VOCAB,
+            greedy=True,
+        )["chosen"]
+        for b in range(4):
+            single = model.generate_from_emb(
+                params, emb[b : b + 1], max_len=MAX_LEN, beam_size=1,
+                top_k=VOCAB, greedy=True,
+            )["chosen"][0]
+            np.testing.assert_array_equal(np.asarray(batch[b]), np.asarray(single))
+
+
+class TestSamplerSemantics:
+    def test_filter_top_k_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(4, 20)).astype(np.float32))
+        out = np.asarray(filter_top_k(logits, top_k=5))
+        ref = np.asarray(logits).copy()
+        kth = np.sort(ref, axis=-1)[:, -5][:, None]
+        ref[ref < kth] = -np.inf
+        ref[:, UNK_ID] = -np.inf
+        np.testing.assert_array_equal(out, ref)
+
+    def test_filter_top_k_keeps_ties(self):
+        logits = jnp.asarray([[1.0, 3.0, 3.0, 2.0, 0.0]])
+        out = np.asarray(filter_top_k(logits, top_k=2, unk_index=4))
+        # both 3.0s survive (ties at the kth value are kept)
+        assert np.isfinite(out[0, 1]) and np.isfinite(out[0, 2])
+        assert not np.isfinite(out[0, 0]) and not np.isfinite(out[0, 3])
+
+    def test_gumbel_top_k_distribution(self):
+        # marginal frequency of the single draw ~ softmax weights
+        logw = jnp.log(jnp.asarray([0.5, 0.3, 0.2]))
+        keys = jax.random.split(jax.random.PRNGKey(0), 3000)
+        draws = jax.vmap(lambda k: gumbel_top_k(k, logw, 1)[0])(keys)
+        freqs = np.bincount(np.asarray(draws), minlength=3) / 3000
+        np.testing.assert_allclose(freqs, [0.5, 0.3, 0.2], atol=0.04)
+
+    def test_gumbel_top_k_never_selects_masked(self):
+        logw = jnp.asarray([0.0, -jnp.inf, 1.0, -jnp.inf])
+        keys = jax.random.split(jax.random.PRNGKey(0), 50)
+        idx = np.asarray(jax.vmap(lambda k: gumbel_top_k(k, logw, 2))(keys))
+        assert set(idx.reshape(-1).tolist()) == {0, 2}
+
+    def test_ended_branches_frozen(self):
+        # once a branch emits EOS its sequence gets pads and its score stops
+        # changing (reference beam.py:84-95 bookkeeping)
+        vocab = 8
+
+        def step_fn(state, tokens):
+            # rigged logits: EOS wins immediately for item 0, never for item 1
+            bias = jnp.where(
+                state["want_eos"][:, None],
+                jax.nn.one_hot(EOS_ID, vocab) * 100.0,
+                jax.nn.one_hot(6, vocab) * 100.0,
+            )
+            return bias, state
+
+        n_items, beam = 2, 2
+        want = jnp.asarray([True, False])
+        state = {"want_eos": jnp.repeat(want, beam, axis=0)}
+        init_logits = jnp.where(
+            want[:, None],
+            jax.nn.one_hot(EOS_ID, vocab) * 100.0,
+            jax.nn.one_hot(6, vocab) * 100.0,
+        )
+        res = beam_search(
+            jax.random.PRNGKey(0), step_fn, state, init_logits,
+            beam_size=beam, top_k=4, temperature=1.0, max_len=6,
+            greedy=True,
+        )
+        seq0 = np.asarray(res["chosen"][0])
+        assert seq0[0] == EOS_ID and (seq0[1:] == PAD_ID).all()
+        seq1 = np.asarray(res["chosen"][1])
+        assert (seq1 == 6).all()
+        assert res["ended"][0].all() and not res["ended"][1].any()

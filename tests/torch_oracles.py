@@ -274,3 +274,113 @@ class OracleTransformerDecoder(nn.Module):
         for layer in self.layers:
             h = layer(h, enc_out, input_mask=input_mask, enc_mask=enc_mask)
         return self.classifier(h)
+
+
+class OracleCaptioningLSTM(nn.Module):
+    """Reference CaptioningLSTM (caption_models.py:9-98) with its exact
+    state_dict layout."""
+
+    def __init__(self, num_tokens, emb_dim=16, hidden_size=24, num_layers=2):
+        super().__init__()
+        self.encoder = OracleImageEncoder(emb_dim)
+        self.decoder = OracleLSTMDecoder(num_tokens, emb_dim, hidden_size,
+                                         num_layers)
+        self.hp = {
+            "num_tokens": num_tokens, "emb_dim": emb_dim,
+            "hidden_size": hidden_size, "num_layers": num_layers,
+            "enc_dropout": 0.0, "dec_dropout": 0.0,
+        }
+
+    def greedy_decode(self, image, max_len, unk_index=1, eos_index=3):
+        emb = self.encoder(image)
+        tokens = torch.zeros(1, 0, dtype=torch.long)
+        out = []
+        for _ in range(max_len):
+            logits = self.decoder(emb, tokens)[:, -1]
+            logits[:, unk_index] = float("-inf")
+            nxt = logits.argmax(-1)
+            out.append(int(nxt))
+            if int(nxt) == eos_index:
+                break
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+        return out
+
+
+class OracleCaptioningLSTMWithLabels(nn.Module):
+    """Reference CaptioningLSTMWithLabels (caption_models.py:101-195):
+    decoder embedding shared with the label encoder's."""
+
+    def __init__(self, num_tokens, emb_dim=16, hidden_size=24, num_layers=2):
+        super().__init__()
+        self.encoder = OracleImageLabelEncoder(num_tokens, emb_dim)
+        self.decoder = OracleLSTMDecoder(
+            num_tokens, emb_dim, hidden_size, num_layers,
+            embedding=self.encoder.label_encoder.embedding,
+        )
+        self.hp = {
+            "num_tokens": num_tokens, "emb_dim": emb_dim,
+            "hidden_size": hidden_size, "num_layers": num_layers,
+            "enc_dropout": 0.0, "dec_dropout": 0.0,
+        }
+
+    def greedy_decode(self, image, labels, max_len, unk_index=1, eos_index=3):
+        emb = self.encoder(image, labels)
+        tokens = torch.zeros(1, 0, dtype=torch.long)
+        out = []
+        for _ in range(max_len):
+            logits = self.decoder(emb, tokens)[:, -1]
+            logits[:, unk_index] = float("-inf")
+            nxt = logits.argmax(-1)
+            out.append(int(nxt))
+            if int(nxt) == eos_index:
+                break
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+        return out
+
+
+class OracleCaptioningTransformerBase(nn.Module):
+    """Reference CaptioningTransformerBase (caption_models.py:198-327)."""
+
+    cross = False
+
+    def __init__(self, num_tokens, hid_dim=16, n_layers=2, n_heads=4,
+                 pf_dim=24, max_len=20):
+        super().__init__()
+        self.encoder = OracleImageEncoder(hid_dim,
+                                          spatial_features=self.cross)
+        self.decoder = OracleTransformerDecoder(
+            num_tokens, hid_dim, n_layers, n_heads, pf_dim, max_len,
+            pad_index=0, cross=self.cross,
+        )
+        self.hp = {
+            "num_tokens": num_tokens, "hid_dim": hid_dim,
+            "n_layers": n_layers, "n_heads": n_heads, "pf_dim": pf_dim,
+            "enc_dropout": 0.0, "dec_dropout": 0.0, "pad_index": 0,
+            "max_len": max_len,
+        }
+
+    def greedy_decode(self, image, max_len, unk_index=1, eos_index=3):
+        if self.cross:
+            start_emb, enc_out = self.encoder(image)
+        else:
+            start_emb, enc_out = self.encoder(image), None
+        tokens = torch.zeros(1, 0, dtype=torch.long)
+        out = []
+        for t in range(max_len):
+            if self.cross:
+                logits = self.decoder(tokens, enc_out, start_emb)[:, t]
+            else:
+                logits = self.decoder(tokens, start_emb=start_emb)[:, t]
+            logits[:, unk_index] = float("-inf")
+            nxt = logits.argmax(-1)
+            out.append(int(nxt))
+            if int(nxt) == eos_index:
+                break
+            tokens = torch.cat([tokens, nxt[:, None]], dim=1)
+        return out
+
+
+class OracleCaptioningTransformer(OracleCaptioningTransformerBase):
+    """Reference CaptioningTransformer (caption_models.py:330-461)."""
+
+    cross = True
