@@ -1,0 +1,83 @@
+"""Static-shape batching.
+
+Replaces the reference's ``pad_collate`` + torch DataLoader
+(/root/reference/deephumor/data/dataloaders.py:5-15), which pads each batch
+to its own longest sequence — a dynamic shape per batch. Under XLA every
+distinct shape is a new compilation, so batches here are padded to a FIXED
+``max_len`` (and the final short batch is dropped or padded to full batch
+size): one shape -> one compiled step for the whole epoch.
+"""
+
+import numpy as np
+
+__all__ = ["pad_collate", "BatchIterator"]
+
+
+def pad_collate(batch, max_caption_len=None, max_label_len=None,
+                pad_value=0):
+    """Collates (label_ids, caption_ids, image) triples into fixed-shape
+    numpy arrays. Without explicit lengths, pads to the batch max (the
+    reference behavior); fixed lengths give static XLA shapes."""
+    labels, captions, images = zip(*batch)
+    lab_len = max_label_len or max(len(l) for l in labels)
+    cap_len = max_caption_len or max(len(c) for c in captions)
+
+    def pad_to(seqs, length):
+        out = np.full((len(seqs), length), pad_value, np.int32)
+        for i, s in enumerate(seqs):
+            s = s[:length]
+            out[i, : len(s)] = s
+        return out
+
+    return {
+        "labels": pad_to(labels, lab_len),
+        "captions": pad_to(captions, cap_len),
+        "images": np.stack(images).astype(np.float32),
+    }
+
+
+class BatchIterator:
+    """Shuffling epoch iterator yielding fixed-shape dict batches.
+
+    Args:
+        dataset: a MemeDataset (or any indexable of triples).
+        batch_size: fixed batch size; a trailing partial batch is dropped
+            when ``drop_last`` (default True — keeps one XLA shape).
+        max_caption_len / max_label_len: fixed pad lengths.
+        seed: shuffle seed; reshuffles each epoch deterministically.
+    """
+
+    def __init__(self, dataset, batch_size, max_caption_len=32,
+                 max_label_len=8, shuffle=True, seed=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_caption_len = max_caption_len
+        self.max_label_len = max_label_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, stop, self.batch_size):
+            idx = order[start : start + self.batch_size]
+            batch = [self.dataset[int(i)] for i in idx]
+            if not self.drop_last and len(batch) < self.batch_size:
+                batch += [batch[-1]] * (self.batch_size - len(batch))
+            yield pad_collate(
+                batch, self.max_caption_len, self.max_label_len
+            )

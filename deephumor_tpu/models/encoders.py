@@ -59,7 +59,11 @@ def image_encoder_apply(
     when ``spatial_features``; in train mode the result is wrapped as
     ``(out, new_params)``.
     """
-    feats = resnet50_features(params["resnet"], images)  # [bs, 7, 7, C]
+    # the trunk is frozen (reference encoders.py:35-36 requires_grad=False);
+    # stop_gradient keeps autodiff from building a useless ResNet backward
+    feats = jax.lax.stop_gradient(
+        resnet50_features(params["resnet"], images)
+    )  # [bs, 7, 7, C]
     bs = feats.shape[0]
 
     # global path: avgpool over the spatial grid -> shared linear -> BN

@@ -1,0 +1,253 @@
+"""Trainer, metrics, and data-layer tests."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data import Vocab, WordPunctTokenizer
+from deephumor_tpu.data.dataloaders import BatchIterator, pad_collate
+from deephumor_tpu.data.datasets import MemeDataset
+from deephumor_tpu.experiments.metrics import masked_cross_entropy, perplexity
+from deephumor_tpu.experiments.trainer import Trainer, frozen_mask
+from deephumor_tpu.models import CaptioningLSTM
+
+VOCAB = 24
+
+
+class TestMetricsParity:
+    def test_perplexity_vs_torch_formula(self):
+        # oracle = the reference formula (metrics.py:4-9) in torch
+        g = torch.Generator().manual_seed(0)
+        logits_t = torch.randn(3, 5, VOCAB, generator=g)
+        targets_t = torch.randint(1, VOCAB, (3, 5), generator=g)
+        targets_t[0, 3:] = 0  # pads
+        lengths_t = (targets_t != 0).sum(dim=1)
+
+        log_values = (
+            logits_t.log_softmax(-1)
+            .gather(-1, targets_t.unsqueeze(-1))
+            .squeeze(-1)
+        )
+        log_values = log_values / lengths_t.unsqueeze(1)
+        log_values[targets_t == 0] = 0.0
+        ref = (-log_values.sum(dim=-1)).exp().mean()
+
+        out = perplexity(
+            jnp.asarray(logits_t.numpy()),
+            jnp.asarray(targets_t.numpy()),
+            jnp.asarray(lengths_t.numpy()),
+        )
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+    def test_masked_ce_vs_torch(self):
+        g = torch.Generator().manual_seed(1)
+        logits_t = torch.randn(2, 4, VOCAB, generator=g)
+        targets_t = torch.randint(1, VOCAB, (2, 4), generator=g)
+        targets_t[1, 2:] = 0
+        mask = targets_t != 0
+        ref = torch.nn.functional.cross_entropy(
+            logits_t[mask], targets_t[mask]
+        )
+        out = masked_cross_entropy(
+            jnp.asarray(logits_t.numpy()), jnp.asarray(targets_t.numpy())
+        )
+        np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return CaptioningLSTM(
+        num_tokens=VOCAB, emb_dim=16, hidden_size=16, num_layers=1,
+        enc_dropout=0.1, dec_dropout=0.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    captions = rng.integers(6, VOCAB, (4, 7)).astype(np.int32)
+    captions[:, -1] = 3  # EOS
+    captions[2, 4:] = 0  # pads
+    return {
+        "captions": captions,
+        "images": rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(6, VOCAB, (4, 3)).astype(np.int32),
+    }
+
+
+class TestTrainer:
+    def test_loss_decreases(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(
+            tiny_model, "t", log_dir=str(tmp_path), learning_rate=1e-2,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer._build_steps()
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(8):
+            rng, sub = jax.random.split(rng)
+            state, metrics = trainer._train_step(state, batch, sub)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert int(state["step"]) == 8
+        trainer.close()
+
+    def test_frozen_resnet_not_updated(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(tiny_model, "t", log_dir=str(tmp_path))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer._build_steps()
+        before = np.asarray(
+            state["params"]["encoder"]["resnet"]["conv1"]["kernel"]
+        ).copy()
+        head_before = np.asarray(
+            state["params"]["encoder"]["linear"]["kernel"]
+        ).copy()
+        state, _ = trainer._train_step(state, batch, jax.random.PRNGKey(2))
+        after = np.asarray(
+            state["params"]["encoder"]["resnet"]["conv1"]["kernel"]
+        )
+        head_after = np.asarray(state["params"]["encoder"]["linear"]["kernel"])
+        np.testing.assert_array_equal(before, after)
+        assert (head_before != head_after).any()
+        trainer.close()
+
+    def test_bn_stats_advance_in_train(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(tiny_model, "t", log_dir=str(tmp_path))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer._build_steps()
+        mean_before = np.asarray(state["params"]["encoder"]["bn"]["mean"]).copy()
+        state, _ = trainer._train_step(state, batch, jax.random.PRNGKey(2))
+        mean_after = np.asarray(state["params"]["encoder"]["bn"]["mean"])
+        assert (mean_before != mean_after).any()
+        trainer.close()
+
+    def test_checkpoint_resume_roundtrip(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(tiny_model, "t", log_dir=str(tmp_path))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer._build_steps()
+        state, _ = trainer._train_step(state, batch, jax.random.PRNGKey(3))
+        trainer.save_checkpoint(state, str(tmp_path / "ck"))
+        restored = trainer.restore_checkpoint(str(tmp_path / "ck"))
+        assert int(restored["step"]) == int(state["step"])
+
+        # continuing from restored state must match continuing original
+        s1, m1 = trainer._train_step(state, batch, jax.random.PRNGKey(4))
+        s2, m2 = trainer._train_step(restored, batch, jax.random.PRNGKey(4))
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+        )
+        trainer.close()
+
+    def test_run_epoch_and_writers(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(
+            tiny_model, "exp", log_dir=str(tmp_path), log_grad_norm=True
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        loader = [batch, batch]
+        state, loss, pp = trainer.run_epoch(
+            state, loader, jax.random.PRNGKey(1), "train", epoch=1
+        )
+        assert np.isfinite(loss) and np.isfinite(pp)
+        state, vloss, vpp = trainer.run_epoch(
+            state, loader, jax.random.PRNGKey(2), "val", epoch=1
+        )
+        assert np.isfinite(vloss)
+        metrics_file = os.path.join(
+            trainer.experiment_dir, "train", "metrics.jsonl"
+        )
+        assert os.path.exists(metrics_file)
+        content = open(metrics_file).read()
+        assert "train/batch_loss" in content
+        assert "train/grad_norm" in content
+        trainer.close()
+
+    def test_frozen_mask_structure(self, tiny_model):
+        params = tiny_model.init(jax.random.PRNGKey(0))
+        mask = frozen_mask(params)
+        assert mask["encoder"]["resnet"]["conv1"]["kernel"] is False
+        assert mask["encoder"]["linear"]["kernel"] is True
+        assert mask["encoder"]["bn"]["mean"] is False
+        assert mask["encoder"]["bn"]["scale"] is True
+        assert mask["decoder"]["classifier"]["bias"] is True
+
+
+class TestDataLayer:
+    @pytest.fixture
+    def data_root(self, tmp_path):
+        from PIL import Image
+
+        root = tmp_path / "memes"
+        (root / "images").mkdir(parents=True)
+        templates = [
+            ("one-does-not-simply", "http://x/one.jpg"),
+            ("grumpy-cat", "http://x/cat.jpg"),
+        ]
+        with open(root / "templates.txt", "w") as f:
+            for label, url in templates:
+                f.write(f"{label}\tlink\t{url}\n")
+                Image.new("RGB", (80, 60), (100, 50, 20)).save(
+                    root / "images" / url.split("/")[-1]
+                )
+        for split, k in (("train", 4), ("val", 2)):
+            with open(root / f"captions_{split}.txt", "w") as f:
+                for i in range(k):
+                    f.write(
+                        f"{templates[i % 2][0]}\t{i}\thello world {i} <sep> bye\n"
+                    )
+        return str(root)
+
+    @pytest.fixture
+    def vocab(self):
+        return Vocab(["hello", "world", "bye", "one", "does", "not",
+                      "simply", "grumpy", "cat", "0", "1", "2", "3"])
+
+    def test_dataset_loads(self, data_root, vocab):
+        ds = MemeDataset(data_root, vocab, split="train")
+        assert len(ds) == 4
+        labels, caption, image = ds[0]
+        assert image.shape == (224, 224, 3)
+        assert caption[-1] == 3  # EOS appended
+        assert 4 in caption.tolist()  # <sep> kept
+        # label text is tokenized too, with EOS
+        assert labels[-1] == 3
+
+    def test_dataset_num_classes_filters_captions(self, data_root, vocab):
+        ds = MemeDataset(data_root, vocab, split="train", num_classes=1)
+        assert len(ds.templates) == 1
+        assert all(l == "one-does-not-simply" for l, _ in ds.captions)
+
+    def test_dataset_unknown_split(self, data_root, vocab):
+        with pytest.raises(ValueError):
+            MemeDataset(data_root, vocab, split="bogus")
+
+    def test_batch_iterator_static_shapes(self, data_root, vocab):
+        ds = MemeDataset(data_root, vocab, split="train")
+        it = BatchIterator(ds, batch_size=2, max_caption_len=10,
+                           max_label_len=6)
+        batches = list(it)
+        assert len(batches) == 2
+        for b in batches:
+            assert b["captions"].shape == (2, 10)
+            assert b["labels"].shape == (2, 6)
+            assert b["images"].shape == (2, 224, 224, 3)
+
+    def test_batch_iterator_reshuffles_deterministically(self, data_root,
+                                                         vocab):
+        ds = MemeDataset(data_root, vocab, split="train")
+        a = list(BatchIterator(ds, 2, shuffle=True, seed=5))
+        b = list(BatchIterator(ds, 2, shuffle=True, seed=5))
+        np.testing.assert_array_equal(a[0]["captions"], b[0]["captions"])
+
+    def test_pad_collate_truncates(self):
+        batch = [
+            (np.arange(3, dtype=np.int32), np.arange(12, dtype=np.int32),
+             np.zeros((4, 4, 3), np.float32)),
+        ]
+        out = pad_collate(batch, max_caption_len=8, max_label_len=2)
+        assert out["captions"].shape == (1, 8)
+        assert out["labels"].shape == (1, 2)
