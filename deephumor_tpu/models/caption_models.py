@@ -71,9 +71,19 @@ def _tile_tree(tree, beam):
     )
 
 
+def _cast_floats(tree, dtype):
+    """Casts float leaves of a pytree to ``dtype`` (ids stay integer)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 @functools.lru_cache(maxsize=256)
 def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
-                       top_k, greedy, eos_index):
+                       top_k, greedy, eos_index, approx_top_k=False):
     """One compiled end-to-end generation program per (model hyperparams,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
@@ -92,6 +102,7 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
             params, enc, key, caption, temperature,
             max_len=max_len, beam_size=beam_size, top_k=top_k,
             greedy=greedy, eos_index=eos_index, prefix_len=prefix_len,
+            approx_top_k=approx_top_k,
         )
 
     return jax.jit(fn)
@@ -111,12 +122,18 @@ class CaptioningLSTM:
     num_layers: int = 2
     enc_dropout: float = 0.3
     dec_dropout: float = 0.1
+    # decode-path compute dtype; "bfloat16" is the TPU serving config
+    # (sampling math stays f32 in the engine). Parity configs use f32.
+    compute_dtype: str = "float32"
 
     model_type = "captioning_lstm"
     with_labels = False
 
     def hp(self):
-        return dataclasses.asdict(self)
+        hp = dataclasses.asdict(self)
+        if hp.get("compute_dtype") == "float32":
+            hp.pop("compute_dtype")
+        return hp
 
     def init(self, key):
         k_enc, k_dec = jax.random.split(key)
@@ -167,7 +184,7 @@ class CaptioningLSTM:
         state = {"h": jnp.swapaxes(h, 0, 1), "c": jnp.swapaxes(c, 0, 1)}
         return logits, state
 
-    def _make_step(self, params):
+    def _make_step(self, params, consts=None):
         def step(state, tokens):
             x = L.embed(self._decoder_embedding(params), tokens)
             h = jnp.swapaxes(state["h"], 0, 1)
@@ -185,32 +202,37 @@ class CaptioningLSTM:
 
     def _generate_impl(self, params, emb, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len):
+                       prefix_len, approx_top_k=False):
+        if self.compute_dtype != "float32":
+            dt = jnp.dtype(self.compute_dtype)
+            params = _cast_floats(params, dt)
+            emb = _cast_floats(emb, dt)
         logits, state = self._prefill(params, emb, caption)
         state = _tile_tree(state, beam_size)
         return beam_search(
             key, self._make_step(params), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
-            greedy=greedy, eos_index=eos_index,
+            greedy=greedy, approx_top_k=approx_top_k, eos_index=eos_index,
         )
 
     def generate_from_emb(self, params, emb, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
-                          top_k=50, eos_index=EOS_ID, greedy=False):
+                          top_k=50, eos_index=EOS_ID, greedy=False,
+                          approx_top_k=False):
         """Batched generation from (possibly cached) image embeddings."""
         if key is None:
             key = jax.random.PRNGKey(0)
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index,
+            eos_index, approx_top_k,
         )
         return fn(params, emb, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
         """Generates captions for a batch of images
         (API parity: caption_models.py:48-74, batched)."""
         if key is None:
@@ -218,7 +240,7 @@ class CaptioningLSTM:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index,
+            eos_index, approx_top_k,
         )
         return fn(params, images, key, caption, temperature)
 
@@ -305,7 +327,7 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
 
     def generate(self, params, images, labels=None, key=None, caption=None,
                  max_len=25, temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
         """Generates captions for images + label token batches
         (API parity: caption_models.py:144-171, batched)."""
         if key is None:
@@ -313,7 +335,7 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index,
+            eos_index, approx_top_k,
         )
         return fn(params, (images, labels), key, caption, temperature)
 
@@ -335,13 +357,18 @@ class CaptioningTransformerBase:
     dec_dropout: float = 0.1
     pad_index: int = 0
     max_len: int = 128
+    # decode-path compute dtype; "bfloat16" is the TPU serving config
+    compute_dtype: str = "float32"
 
     model_type = "captioning_transformer_base"
     with_labels = False
     cross_attention = False
 
     def hp(self):
-        return dataclasses.asdict(self)
+        hp = dataclasses.asdict(self)
+        if hp.get("compute_dtype") == "float32":
+            hp.pop("compute_dtype")
+        return hp
 
     def init(self, key):
         k_enc, k_dec = jax.random.split(key)
@@ -391,7 +418,9 @@ class CaptioningTransformerBase:
         bs = start_emb.shape[0]
         scale = math.sqrt(self.hid_dim)
 
-        cache = tfm.init_cache(params["decoder"], bs, max_positions)
+        cache = tfm.init_cache(
+            params["decoder"], bs, max_positions, dtype=start_emb.dtype
+        )
         valid = jnp.zeros((bs, max_positions), bool).at[:, 0].set(True)
 
         logits, cache = tfm.decode_step(
@@ -415,9 +444,9 @@ class CaptioningTransformerBase:
             "valid": valid,
             "pos": jnp.full((bs,), pos, jnp.int32),
         }
-        return logits, state
+        return logits, state, None
 
-    def _make_step(self, params):
+    def _make_step(self, params, consts=None):
         scale = math.sqrt(self.hid_dim)
 
         def step(state, tokens):
@@ -427,6 +456,10 @@ class CaptioningTransformerBase:
             logits, cache = tfm.decode_step(
                 params["decoder"], emb, pos, state["cache"], valid,
                 self.n_heads,
+                cross=None if consts is None else consts["cross"],
+                enc_key_mask=(
+                    None if consts is None else consts["enc_key_mask"]
+                ),
             )
             return logits, {
                 "cache": cache,
@@ -438,22 +471,30 @@ class CaptioningTransformerBase:
 
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len):
+                       prefix_len, approx_top_k=False):
+        if self.compute_dtype != "float32":
+            dt = jnp.dtype(self.compute_dtype)
+            params = _cast_floats(params, dt)
+            enc = _cast_floats(enc, dt)
         max_positions = max_len + 1
-        logits, state = self._prefill_and_state(
+        logits, state, consts = self._prefill_and_state(
             params, enc, caption, max_positions
         )
+        # decoder state is tiled per beam; consts (cross-attention K/V,
+        # encoder mask) stay per-item and are shared via grouped attention
         state = _tile_tree(state, beam_size)
         return beam_search(
-            key, self._make_step(params), state, logits,
+            key, self._make_step(params, consts), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
-            greedy=greedy, eos_index=eos_index, pad_index=self.pad_index,
+            greedy=greedy, approx_top_k=approx_top_k,
+            eos_index=eos_index, pad_index=self.pad_index,
         )
 
     def generate_from_emb(self, params, enc, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
-                          top_k=50, eos_index=EOS_ID, greedy=False):
+                          top_k=50, eos_index=EOS_ID, greedy=False,
+                          approx_top_k=False):
         if key is None:
             key = jax.random.PRNGKey(0)
         # the positional table bounds total positions (start emb + tokens);
@@ -463,13 +504,13 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index,
+            eos_index, approx_top_k,
         )
         return fn(params, enc, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
         """Batched caption generation
         (API parity: caption_models.py:280-306)."""
         if key is None:
@@ -478,7 +519,7 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index,
+            eos_index, approx_top_k,
         )
         return fn(params, images, key, caption, temperature)
 
@@ -542,7 +583,9 @@ class CaptioningTransformer(CaptioningTransformerBase):
         bs = start_emb.shape[0]
         scale = math.sqrt(self.hid_dim)
 
-        cache = tfm.init_cache(params["decoder"], bs, max_positions)
+        cache = tfm.init_cache(
+            params["decoder"], bs, max_positions, dtype=start_emb.dtype
+        )
         valid = jnp.zeros((bs, max_positions), bool).at[:, 0].set(True)
         cross = tfm.precompute_cross_attention(params["decoder"], spatial)
         # the reference masks all-zero encoder rows (transformers.py:480)
@@ -568,28 +611,8 @@ class CaptioningTransformer(CaptioningTransformerBase):
             "cache": cache,
             "valid": valid,
             "pos": jnp.full((bs,), pos, jnp.int32),
-            "cross": cross,
-            "enc_key_mask": enc_key_mask,
         }
-        return logits, state
-
-    def _make_step(self, params):
-        scale = math.sqrt(self.hid_dim)
-
-        def step(state, tokens):
-            pos = state["pos"][0]
-            valid = state["valid"].at[:, pos].set(tokens != self.pad_index)
-            emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
-            logits, cache = tfm.decode_step(
-                params["decoder"], emb, pos, state["cache"], valid,
-                self.n_heads, cross=state["cross"],
-                enc_key_mask=state["enc_key_mask"],
-            )
-            return logits, dict(
-                state, cache=cache, valid=valid, pos=state["pos"] + 1
-            )
-
-        return step
+        return logits, state, {"cross": cross, "enc_key_mask": enc_key_mask}
 
 
 MODEL_REGISTRY = {

@@ -83,6 +83,35 @@ def _log_softmax_gathered(filtered_logits, idx):
     return gathered - jax.nn.logsumexp(gathered, axis=-1, keepdims=True)
 
 
+def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
+                     approx=False):
+    """One exact full-vocab top_k, then candidate draw + scoring inside the
+    reduced K-space (the hot-path equivalent of filter_top_k + draw: a
+    token outside the top-K has weight exp(-inf) = 0 either way, so
+    sampling within the top-K set draws the identical distribution — and
+    it costs ONE vocab-wide sort per step instead of two, with Gumbel
+    noise over K instead of V entries).
+
+    Returns (token_ids [..., k], scores [..., k]) where scores are the
+    reference's log_softmax-over-the-k-gathered-values numbers.
+    """
+    if approx and not greedy:
+        # serving fast path: TPU PartialReduce-based approximate top-k
+        # (recall 0.99) — ~3x cheaper than the exact sort; occasionally
+        # swaps a boundary candidate, leaving the argmax/greedy and parity
+        # paths untouched (they always use the exact sort)
+        vals, idx = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
+    else:
+        vals, idx = jax.lax.top_k(logits, top_k)  # [..., K] each
+    vals = jnp.where(idx == unk_index, NEG_INF, vals)
+    pick = _select_k(key, vals * inv_t, k, greedy)  # [..., k] in K-space
+    picked_vals = jnp.take_along_axis(vals, pick, axis=-1)
+    scores = picked_vals - jax.nn.logsumexp(picked_vals, axis=-1,
+                                            keepdims=True)
+    tokens = jnp.take_along_axis(idx, pick, axis=-1)
+    return tokens, scores
+
+
 def _flat_take(tree, idx):
     """Gathers axis-0 (flat batch) of every state leaf."""
     return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), tree)
@@ -101,6 +130,7 @@ def beam_search(
     prefix=None,
     prefix_len=0,
     greedy=False,
+    approx_top_k=False,
     eos_index=EOS_ID,
     unk_index=UNK_ID,
     pad_index=PAD_ID,
@@ -134,13 +164,16 @@ def beam_search(
     num_items, vocab = init_logits.shape
     beam = beam_size
     inv_t = 1.0 / temperature
+    # sampling math stays in f32 regardless of the decoder compute dtype
+    init_logits = init_logits.astype(jnp.float32)
 
     k_init, k_scan, k_final = jax.random.split(key, 3)
 
     # --- initial draw: beam tokens from the prefill logits (one branch) ---
-    filtered = filter_top_k(init_logits, top_k, unk_index)
-    first_idx = _select_k(k_init, filtered * inv_t, beam, greedy)  # [B, beam]
-    first_val = _log_softmax_gathered(filtered, first_idx)
+    first_idx, first_val = _topk_space_draw(
+        k_init, init_logits, top_k, beam, inv_t, greedy, unk_index,
+        approx=approx_top_k,
+    )  # [B, beam] each
 
     seq = jnp.full((num_items, beam, max_len), pad_index, jnp.int32)
     if prefix is not None and prefix_len > 0:
@@ -166,18 +199,13 @@ def beam_search(
         last = jax.lax.dynamic_index_in_dim(seq, pos, axis=2, keepdims=False)
 
         logits, dec_state = step_fn(dec_state, last.reshape(-1))
-        logits = logits.reshape(num_items, beam, vocab)
-
-        filtered = filter_top_k(logits, top_k, unk_index)
+        logits = logits.reshape(num_items, beam, vocab).astype(jnp.float32)
 
         # per-branch candidate draw: beam tokens per live branch
-        new_idx = _select_k(
-            jax.random.fold_in(step_key, 0),
-            filtered * inv_t,
-            beam,
-            greedy,
-        )  # [B, beam, beam]
-        new_val = _log_softmax_gathered(filtered, new_idx)
+        new_idx, new_val = _topk_space_draw(
+            jax.random.fold_in(step_key, 0), logits, top_k, beam, inv_t,
+            greedy, unk_index, approx=approx_top_k,
+        )  # [B, beam, beam] each
 
         # ended branches: single pad/0-score continuation in column 0
         new_idx = jnp.where(ended[..., None], pad_index, new_idx)
