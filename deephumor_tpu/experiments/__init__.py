@@ -9,9 +9,14 @@ from deephumor_tpu.experiments.inference import (
     seq_to_text,
     split_caption,
 )
+from deephumor_tpu.experiments.metrics import masked_cross_entropy, perplexity
+from deephumor_tpu.experiments.trainer import Trainer
 
 __all__ = [
     "text_to_seq",
     "seq_to_text",
     "split_caption",
+    "perplexity",
+    "masked_cross_entropy",
+    "Trainer",
 ]

@@ -1,0 +1,123 @@
+"""End-to-end meme generation pipeline (the product/serving path).
+
+The reference's equivalent is notebook glue (deephumor_demo.ipynb cell 35
+``get_a_meme``): one meme at a time, re-encoding the image every call. This
+pipeline is the TPU-native serving design (SURVEY.md §7.7/7.9):
+
+- template images are encoded ONCE into a feature cache (global + spatial
+  embeddings) — 300 templates amortize the whole ResNet over thousands of
+  captions,
+- caption generation runs batched over (templates x samples) through the
+  jitted beam-search engine,
+- text post-processing (seq_to_text / split_caption) and the PIL renderer
+  run host-side on a thread pool while the TPU generates the next batch.
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.experiments.inference import seq_to_text, split_caption
+from deephumor_tpu.imaging import memeify_image
+
+__all__ = ["MemeGenerationPipeline"]
+
+
+class MemeGenerationPipeline:
+    """Batched template -> captioned meme pipeline.
+
+    Args:
+        model: a caption model dataclass (deephumor_tpu.models).
+        params: its parameter pytree.
+        vocab: Vocab for decoding token ids.
+        delimiter: join delimiter for :func:`seq_to_text` ('' for char
+            models, ' ' for word models — notebook cell 35).
+        render_workers: host threads for PIL rendering.
+    """
+
+    def __init__(self, model, params, vocab, delimiter=" ",
+                 font_path=None, render_workers=8):
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.delimiter = delimiter
+        self.font_path = font_path
+        self.render_workers = render_workers
+        self._cache = {}  # template id -> encoded features
+        self._images = {}  # template id -> PIL image (for rendering)
+
+    # -- template cache ------------------------------------------------------
+    def add_template(self, template_id, image, pil_image=None):
+        """Encodes and caches one template.
+
+        Args:
+            template_id: hashable id (e.g. label).
+            image: preprocessed ``[224, 224, 3]`` float array.
+            pil_image: optional original PIL image for rendering.
+        """
+        enc = self.model.encode(self.params, jnp.asarray(image)[None])
+        self._cache[template_id] = enc
+        if pil_image is not None:
+            self._images[template_id] = pil_image
+
+    def add_templates(self, ids, images, pil_images=None, batch_size=32):
+        """Encodes templates in batches (one ResNet pass per batch)."""
+        images = np.asarray(images)
+        for start in range(0, len(ids), batch_size):
+            chunk = ids[start : start + batch_size]
+            enc = self.model.encode(
+                self.params, jnp.asarray(images[start : start + len(chunk)])
+            )
+            for j, tid in enumerate(chunk):
+                self._cache[tid] = jax.tree.map(
+                    lambda x: x[j : j + 1], enc
+                )
+            if pil_images is not None:
+                for j, tid in enumerate(chunk):
+                    self._images[tid] = pil_images[start + j]
+
+    def _stack_features(self, ids):
+        encs = [self._cache[tid] for tid in ids]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *encs
+        )
+
+    # -- generation ----------------------------------------------------------
+    def generate_captions(self, template_ids, key=None, **generate_kwargs):
+        """Generates one caption text per entry of ``template_ids``
+        (repeat ids to get multiple captions per template)."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        enc = self._stack_features(template_ids)
+        result = self.model.generate_from_emb(
+            self.params, enc, key=key, **generate_kwargs
+        )
+        seqs = np.asarray(result["chosen"])
+        return [
+            seq_to_text(seq, self.vocab, delimiter=self.delimiter)
+            for seq in seqs
+        ]
+
+    def generate_memes(self, template_ids, key=None, **generate_kwargs):
+        """Full path: captions + parallel host-side rendering.
+
+        Returns list of (template_id, caption_text, PIL image | None).
+        """
+        texts = self.generate_captions(template_ids, key, **generate_kwargs)
+
+        def render(args):
+            tid, text = args
+            top, bottom = split_caption(text, num_blocks=2)
+            img = self._images.get(tid)
+            if img is None:
+                return tid, text, None
+            return tid, text, memeify_image(
+                img, top=top, bottom=bottom, font_path=self.font_path
+            )
+
+        with ThreadPoolExecutor(self.render_workers) as pool:
+            return list(pool.map(render, zip(template_ids, texts)))

@@ -1,0 +1,91 @@
+"""Serving pipeline + profiling + orbax utility tests."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data import Vocab
+from deephumor_tpu.models import CaptioningTransformerBase
+from deephumor_tpu.pipeline import MemeGenerationPipeline
+
+VOCAB_WORDS = ["when", "you", "ship", "it", "works", "and", "bug"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vocab = Vocab(VOCAB_WORDS)
+    model = CaptioningTransformerBase(
+        num_tokens=len(vocab), hid_dim=16, n_layers=1, n_heads=4, pf_dim=24,
+        max_len=16, enc_dropout=0.0, dec_dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params, vocab
+
+
+def test_pipeline_end_to_end(setup):
+    model, params, vocab = setup
+    pipe = MemeGenerationPipeline(model, params, vocab)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    pils = [Image.new("RGB", (200, 150), (90, 110, 130)) for _ in range(3)]
+    pipe.add_templates(["a", "b", "c"], images, pil_images=pils)
+    assert set(pipe._cache) == {"a", "b", "c"}
+
+    # 2 captions per template via repeated ids
+    ids = ["a", "a", "b", "b", "c", "c"]
+    results = pipe.generate_memes(
+        ids, key=jax.random.PRNGKey(1), max_len=8, beam_size=2, top_k=5,
+    )
+    assert len(results) == 6
+    for tid, text, img in results:
+        assert isinstance(text, str)
+        assert img is not None and img.size == (200, 150)
+
+
+def test_pipeline_caption_only(setup):
+    model, params, vocab = setup
+    pipe = MemeGenerationPipeline(model, params, vocab)
+    pipe.add_template("x", np.zeros((32, 32, 3), np.float32))
+    texts = pipe.generate_captions(
+        ["x"], key=jax.random.PRNGKey(0), max_len=8, beam_size=2, top_k=5
+    )
+    assert len(texts) == 1
+
+
+def test_profiling_benchmark():
+    from deephumor_tpu.utils.profiling import Timer, benchmark
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    stats = benchmark(f, jnp.ones((128, 128)), iters=3)
+    assert stats["mean_s"] > 0 and stats["iters"] == 3
+
+    timer = Timer()
+    with timer.section("work"):
+        f(jnp.ones((8, 8)))
+    s = timer.summary()
+    assert "work" in s and s["work"]["count"] == 1
+
+
+def test_orbax_roundtrip(tmp_path):
+    from deephumor_tpu.utils.checkpoint import (
+        latest_step,
+        restore_orbax,
+        save_orbax,
+    )
+
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.int32(7),
+    }
+    save_orbax(str(tmp_path / "ckpt"), state, step=7)
+    save_orbax(str(tmp_path / "ckpt"), state, step=9)
+    assert latest_step(str(tmp_path / "ckpt")) == 9
+    restored, step = restore_orbax(str(tmp_path / "ckpt"))
+    assert step == 9
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3)
+    )
