@@ -48,7 +48,8 @@ class BatchIterator:
     """
 
     def __init__(self, dataset, batch_size, max_caption_len=32,
-                 max_label_len=8, shuffle=True, seed=0, drop_last=True):
+                 max_label_len=8, shuffle=True, seed=0, drop_last=True,
+                 fast=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_caption_len = max_caption_len
@@ -57,6 +58,15 @@ class BatchIterator:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        # fast path: whole-split pre-encoded id matrices (native batch
+        # tokenizer) + image lookups, instead of per-item tokenization
+        self._mat = None
+        if (
+            fast
+            and hasattr(dataset, "materialize")
+            and getattr(dataset, "preload_images", False)
+        ):
+            self._mat = dataset.materialize(max_caption_len, max_label_len)
 
     def __len__(self):
         n = len(self.dataset)
@@ -75,9 +85,22 @@ class BatchIterator:
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
-            batch = [self.dataset[int(i)] for i in idx]
-            if not self.drop_last and len(batch) < self.batch_size:
-                batch += [batch[-1]] * (self.batch_size - len(batch))
-            yield pad_collate(
-                batch, self.max_caption_len, self.max_label_len
-            )
+            if not self.drop_last and len(idx) < self.batch_size:
+                idx = np.concatenate(
+                    [idx, np.repeat(idx[-1], self.batch_size - len(idx))]
+                )
+            if self._mat is not None:
+                keys = self._mat["image_keys"]
+                images = np.stack(
+                    [self.dataset.images[keys[int(i)]] for i in idx]
+                ).astype(np.float32)
+                yield {
+                    "labels": self._mat["labels"][idx],
+                    "captions": self._mat["captions"][idx],
+                    "images": images,
+                }
+            else:
+                batch = [self.dataset[int(i)] for i in idx]
+                yield pad_collate(
+                    batch, self.max_caption_len, self.max_label_len
+                )

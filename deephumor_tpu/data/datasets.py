@@ -116,3 +116,68 @@ class MemeDataset:
 
     def __len__(self):
         return len(self.captions)
+
+    # -- bulk encoding (native-accelerated fast path) -----------------------
+    def _tokenizer_mode(self):
+        from deephumor_tpu.data.tokenizers import (
+            CharTokenizer,
+            WordPunctTokenizer,
+        )
+
+        if type(self.tokenizer) is WordPunctTokenizer:
+            return "word"
+        if type(self.tokenizer) is CharTokenizer:
+            return "char"
+        return None
+
+    def materialize(self, max_caption_len, max_label_len):
+        """Pre-encodes the whole split into padded id matrices ONCE
+        (C++ batch tokenizer when available) instead of re-tokenizing
+        per item per epoch. Returns
+        ``{captions [N, C], labels [N, L], image_keys [N]}``; cached.
+        """
+        key = (max_caption_len, max_label_len)
+        cached = getattr(self, "_materialized", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+
+        mode = self._tokenizer_mode()
+        caption_texts = [c for _, c in self.captions]
+        image_keys = [l for l, _ in self.captions]
+        unique_labels = list(self.templates.keys())
+
+        if mode is not None:
+            from deephumor_tpu.native import encode_batch
+
+            cap_ids, _ = encode_batch(
+                caption_texts, self.vocab, mode, max_caption_len
+            )
+            lab_ids, _ = encode_batch(
+                unique_labels, self.vocab, mode, max_label_len
+            )
+        else:  # custom tokenizer: exact per-item python path
+            def pad(seqs, length):
+                out = np.zeros((len(seqs), length), np.int32)
+                for i, s in enumerate(seqs):
+                    s = s[:length]
+                    out[i, : len(s)] = s
+                return out
+
+            cap_ids = pad(
+                [self._preprocess_text(t) for t in caption_texts],
+                max_caption_len,
+            )
+            lab_ids = pad(
+                [self._preprocess_text(t) for t in unique_labels],
+                max_label_len,
+            )
+
+        label_row = {l: i for i, l in enumerate(unique_labels)}
+        labels = lab_ids[[label_row[l] for l in image_keys]]
+        result = {
+            "captions": cap_ids,
+            "labels": labels,
+            "image_keys": image_keys,
+        }
+        self._materialized = (key, result)
+        return result
