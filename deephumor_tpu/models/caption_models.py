@@ -448,10 +448,17 @@ class CaptioningTransformerBase:
 
     def _make_step(self, params, consts=None):
         scale = math.sqrt(self.hid_dim)
+        dtype = jnp.dtype(self.compute_dtype)
 
         def step(state, tokens):
             pos = state["pos"][0]
             valid = state["valid"].at[:, pos].set(tokens != self.pad_index)
+            beam = state["anc"].shape[1]
+            # this step's k/v land in the branch's own physical slot
+            anc = state["anc"].at[:, :, pos].set(
+                jnp.arange(beam, dtype=jnp.int32)[None, :]
+            )
+            anc_onehot = jax.nn.one_hot(anc, beam, dtype=dtype)
             emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
             logits, cache = tfm.decode_step(
                 params["decoder"], emb, pos, state["cache"], valid,
@@ -460,14 +467,31 @@ class CaptioningTransformerBase:
                 enc_key_mask=(
                     None if consts is None else consts["enc_key_mask"]
                 ),
+                anc_onehot=anc_onehot,
             )
             return logits, {
                 "cache": cache,
                 "valid": valid,
                 "pos": state["pos"] + 1,
+                "anc": anc,
             }
 
         return step
+
+    @staticmethod
+    def _shuffle_state(state, flat_branch, branch):
+        """Survivor reorder WITHOUT touching the KV caches: validity/pos
+        follow the branch (small), the ancestry table re-roots onto the
+        surviving branch's history, cache rows stay in place (see
+        transformer._ancestry_attention)."""
+        return {
+            "cache": state["cache"],
+            "valid": jnp.take(state["valid"], flat_branch, axis=0),
+            "pos": state["pos"],
+            "anc": jnp.take_along_axis(
+                state["anc"], branch[:, :, None], axis=1
+            ),
+        }
 
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
@@ -483,11 +507,19 @@ class CaptioningTransformerBase:
         # decoder state is tiled per beam; consts (cross-attention K/V,
         # encoder mask) stay per-item and are shared via grouped attention
         state = _tile_tree(state, beam_size)
+        # ancestry init: after tiling, every beam slot holds its own copy
+        # of the prefill cache, so every position's ancestor is itself
+        num_items = logits.shape[0]
+        state["anc"] = jnp.broadcast_to(
+            jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
+            (num_items, beam_size, max_positions),
+        )
         return beam_search(
             key, self._make_step(params, consts), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
             greedy=greedy, approx_top_k=approx_top_k,
+            shuffle_fn=self._shuffle_state,
             eos_index=eos_index, pad_index=self.pad_index,
         )
 

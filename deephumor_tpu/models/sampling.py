@@ -99,10 +99,15 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
         # serving fast path: TPU PartialReduce-based approximate top-k
         # (recall 0.99) — ~3x cheaper than the exact sort; occasionally
         # swaps a boundary candidate, leaving the argmax/greedy and parity
-        # paths untouched (they always use the exact sort)
+        # paths untouched (they always use the exact sort). Selection runs
+        # in the decoder's compute dtype (bf16 halves the sort bandwidth);
+        # scoring below is f32 either way.
         vals, idx = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
     else:
-        vals, idx = jax.lax.top_k(logits, top_k)  # [..., K] each
+        vals, idx = jax.lax.top_k(
+            logits.astype(jnp.float32), top_k
+        )  # [..., K] each
+    vals = vals.astype(jnp.float32)
     vals = jnp.where(idx == unk_index, NEG_INF, vals)
     pick = _select_k(key, vals * inv_t, k, greedy)  # [..., k] in K-space
     picked_vals = jnp.take_along_axis(vals, pick, axis=-1)
@@ -131,6 +136,7 @@ def beam_search(
     prefix_len=0,
     greedy=False,
     approx_top_k=False,
+    shuffle_fn=None,
     eos_index=EOS_ID,
     unk_index=UNK_ID,
     pad_index=PAD_ID,
@@ -164,8 +170,9 @@ def beam_search(
     num_items, vocab = init_logits.shape
     beam = beam_size
     inv_t = 1.0 / temperature
-    # sampling math stays in f32 regardless of the decoder compute dtype
-    init_logits = init_logits.astype(jnp.float32)
+    # full-vocab logits stay in the decoder's compute dtype through top-k
+    # selection; all scoring/bookkeeping beyond the selected K is f32
+    # (inside _topk_space_draw)
 
     k_init, k_scan, k_final = jax.random.split(key, 3)
 
@@ -199,7 +206,7 @@ def beam_search(
         last = jax.lax.dynamic_index_in_dim(seq, pos, axis=2, keepdims=False)
 
         logits, dec_state = step_fn(dec_state, last.reshape(-1))
-        logits = logits.reshape(num_items, beam, vocab).astype(jnp.float32)
+        logits = logits.reshape(num_items, beam, vocab)
 
         # per-branch candidate draw: beam tokens per live branch
         new_idx, new_val = _topk_space_draw(
@@ -237,11 +244,16 @@ def beam_search(
         )
         ended = ended | (chosen_tok == eos_index)
 
-        # shuffle decoder state to surviving branches (flat batch gather)
+        # shuffle decoder state to surviving branches. Default: flat batch
+        # gather of every leaf; models may pass shuffle_fn to keep big
+        # buffers (KV caches) unshuffled via ancestry tables.
         flat_branch = (
             jnp.arange(num_items)[:, None] * beam + branch
         ).reshape(-1)
-        dec_state = _flat_take(dec_state, flat_branch)
+        if shuffle_fn is not None:
+            dec_state = shuffle_fn(dec_state, flat_branch, branch)
+        else:
+            dec_state = _flat_take(dec_state, flat_branch)
 
         return (dec_state, seq, val, ended, s + 1), None
 

@@ -391,8 +391,57 @@ def _grouped_attention(attn_params, x, k_all, v_all, n_heads, key_mask):
     return L.linear(attn_params["fc_o"], out)
 
 
+def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
+                        n_heads, key_valid):
+    """Single-query self-attention over UNSHUFFLED per-slot caches.
+
+    Beam search conventionally reorders the whole KV cache to surviving
+    branches every step — at serving batch sizes that shuffle is the single
+    most expensive op (hundreds of MB of HBM traffic per token). Here the
+    cache rows stay put; each branch carries an ancestry table saying which
+    physical slot wrote its key at every past position, and attention
+    gathers energies through a tiny one-hot einsum instead. Extra compute:
+    O(beam) more QK/AV dot products — a few hundred MFLOPs — in exchange
+    for zero cache movement.
+
+    Args:
+        x: queries ``[B*beam, D]`` (beam = anc_onehot.shape[-1]).
+        cache_k/cache_v: ``[B*beam, P, D]`` per-slot caches.
+        anc_onehot: ``[B, beam, P, beam]`` — anc_onehot[b, j, p, i] = 1 iff
+            branch j's token at position p lives in slot i.
+        key_valid: bool ``[B*beam, P]`` — branch-local validity (travels
+            with the branch, already reordered by the engine).
+    """
+    total, p, d = cache_k.shape
+    beam = anc_onehot.shape[-1]
+    b = total // beam
+    head_dim = d // n_heads
+    scale = math.sqrt(head_dim)
+
+    q = L.linear(attn_params["fc_q"], x).reshape(b, beam, n_heads, head_dim)
+    k = cache_k.reshape(b, beam, p, n_heads, head_dim)
+    v = cache_v.reshape(b, beam, p, n_heads, head_dim)
+
+    # energies of every branch j against every slot i's keys, then select
+    # the ancestor slot per (j, position)
+    energy_all = jnp.einsum("bjhd,biphd->bjhip", q, k) / scale
+    energy = jnp.einsum(
+        "bjhip,bjpi->bjhp", energy_all, anc_onehot.astype(energy_all.dtype)
+    )
+    energy = energy.astype(jnp.float32)
+    energy = jnp.where(
+        ~key_valid.reshape(b, beam, 1, p), MASK_FILL, energy
+    )
+    attn = jax.nn.softmax(energy, axis=-1).astype(x.dtype)
+
+    weights = jnp.einsum("bjhp,bjpi->bjhpi", attn,
+                         anc_onehot.astype(attn.dtype))
+    out = jnp.einsum("bjhpi,biphd->bjhd", weights, v).reshape(total, d)
+    return L.linear(attn_params["fc_o"], out)
+
+
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
-                n_heads, cross=None, enc_key_mask=None):
+                n_heads, cross=None, enc_key_mask=None, anc_onehot=None):
     """One incremental decode position.
 
     Args:
@@ -429,9 +478,15 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         )
         new_cache.append({"k": cache_k, "v": cache_v})
 
-        attn = _cached_attention(
-            layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask
-        )
+        if anc_onehot is not None:
+            attn = _ancestry_attention(
+                layer["self_attn"], x, cache_k, cache_v, anc_onehot,
+                n_heads, self_key_valid,
+            )
+        else:
+            attn = _cached_attention(
+                layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask
+            )
         x = L.layer_norm(layer["self_attn_ln"], x + attn)
 
         if "enc_attn" in layer:
