@@ -213,16 +213,27 @@ class Trainer:
         self._eval_step = eval_step
 
     # -- epochs --------------------------------------------------------------
-    def run_epoch(self, state, dataloader, rng, phase="train", epoch=0):
+    def run_epoch(self, state, dataloader, rng, phase="train", epoch=0,
+                  mesh=None):
         """One pass over ``dataloader`` (an iterable of dict batches with
-        numpy 'captions'/'images'[/'labels']). Returns (state, loss, pp)."""
+        numpy 'captions'/'images'[/'labels']). Returns (state, loss, pp).
+
+        With ``mesh``, every batch is placed with its leading axis sharded
+        over the mesh's ``data`` axis before the jitted step (XLA inserts
+        the gradient psum over ICI).
+        """
         if self._train_step is None:
             self._build_steps()
         is_train = phase == "train"
         writer = self.writers.get(phase)
 
+        if mesh is not None:
+            from deephumor_tpu.parallel import shard_batch
+
         total_loss = total_pp = total_n = 0
         for batch in dataloader:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             n = len(batch["captions"])
             if is_train:
                 rng, sub = jax.random.split(rng)
@@ -250,9 +261,11 @@ class Trainer:
         return state, epoch_loss, epoch_pp
 
     def train(self, state, dataloaders, n_epochs=50, rng=None,
-              save_every_epoch=True):
+              save_every_epoch=True, mesh=None):
         """Epoch loop with best-val tracking (reference
-        trainer.py:118-156 behavior, quirks fixed)."""
+        trainer.py:118-156 behavior, quirks fixed). Pass ``mesh`` for
+        data-parallel multi-chip training (params should be replicated,
+        deephumor_tpu.parallel.replicate)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         best_epoch, best_val_loss = 0, float("inf")
@@ -264,7 +277,7 @@ class Trainer:
             for phase in self.phases:
                 rng, sub = jax.random.split(rng)
                 state, loss, pp = self.run_epoch(
-                    state, dataloaders[phase], sub, phase, epoch
+                    state, dataloaders[phase], sub, phase, epoch, mesh=mesh
                 )
                 epoch_metrics[phase] = (loss, pp)
                 print(f"  {phase:5s} loss: {loss:.5f}, perplexity: {pp:.3f}")

@@ -139,3 +139,31 @@ def test_tp_param_shardings_place_and_run(batch):
         )
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_trainer_run_epoch_with_mesh(batch, tmp_path):
+    """Trainer.run_epoch(mesh=...) shards batches and matches unsharded."""
+    from deephumor_tpu.models import CaptioningLSTM
+
+    model = CaptioningLSTM(num_tokens=VOCAB, emb_dim=16, hidden_size=16,
+                           num_layers=1, enc_dropout=0.0, dec_dropout=0.0)
+    trainer = Trainer(model, "m", log_dir=str(tmp_path))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(model=1)
+    state_sh = {
+        "params": replicate(state["params"], mesh),
+        "opt_state": replicate(state["opt_state"], mesh),
+        "step": state["step"],
+    }
+    loader = [batch, batch]
+    s1, loss1, _ = trainer.run_epoch(
+        state, loader, jax.random.PRNGKey(1), "train", 1
+    )
+    trainer2 = Trainer(model, "m2", log_dir=str(tmp_path))
+    trainer2.init_state(jax.random.PRNGKey(0))
+    s2, loss2, _ = trainer2.run_epoch(
+        state_sh, loader, jax.random.PRNGKey(1), "train", 1, mesh=mesh
+    )
+    np.testing.assert_allclose(loss1, loss2, rtol=1e-4)
+    trainer.close(); trainer2.close()
