@@ -58,7 +58,7 @@ def main():
     def run(k):
         return model.generate_from_emb(
             params, (start_emb, spatial), key=k, max_len=MAX_LEN,
-            beam_size=BEAM, top_k=64, temperature=1.0, approx_top_k=True,
+            beam_size=BEAM, top_k=64, temperature=1.0, sampler="pallas",
         )
 
     # compile + settle
@@ -79,7 +79,7 @@ def main():
     def run1(k):
         return model.generate_from_emb(
             params, (se1, sp1), key=k, max_len=MAX_LEN, beam_size=BEAM,
-            top_k=64, temperature=1.0, approx_top_k=True,
+            top_k=64, temperature=1.0, sampler="pallas",
         )
 
     _finish(run1(jax.random.PRNGKey(90)))

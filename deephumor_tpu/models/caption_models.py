@@ -83,7 +83,7 @@ def _cast_floats(tree, dtype):
 
 @functools.lru_cache(maxsize=256)
 def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
-                       top_k, greedy, eos_index, approx_top_k=False):
+                       top_k, greedy, eos_index, sampler="exact"):
     """One compiled end-to-end generation program per (model hyperparams,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
@@ -102,7 +102,7 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
             params, enc, key, caption, temperature,
             max_len=max_len, beam_size=beam_size, top_k=top_k,
             greedy=greedy, eos_index=eos_index, prefix_len=prefix_len,
-            approx_top_k=approx_top_k,
+            sampler=sampler,
         )
 
     return jax.jit(fn)
@@ -202,7 +202,7 @@ class CaptioningLSTM:
 
     def _generate_impl(self, params, emb, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, approx_top_k=False):
+                       prefix_len, sampler="exact"):
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -213,34 +213,37 @@ class CaptioningLSTM:
             key, self._make_step(params), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
-            greedy=greedy, approx_top_k=approx_top_k, eos_index=eos_index,
+            greedy=greedy, sampler=sampler, eos_index=eos_index,
         )
 
     def generate_from_emb(self, params, emb, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
                           top_k=50, eos_index=EOS_ID, greedy=False,
-                          approx_top_k=False):
+                          approx_top_k=False, sampler=None):
         """Batched generation from (possibly cached) image embeddings."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        sampler = sampler or ("approx" if approx_top_k else "exact")
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, approx_top_k,
+            eos_index, sampler,
         )
         return fn(params, emb, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False,
+                 sampler=None):
         """Generates captions for a batch of images
         (API parity: caption_models.py:48-74, batched)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        sampler = sampler or ("approx" if approx_top_k else "exact")
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, approx_top_k,
+            eos_index, sampler,
         )
         return fn(params, images, key, caption, temperature)
 
@@ -327,15 +330,17 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
 
     def generate(self, params, images, labels=None, key=None, caption=None,
                  max_len=25, temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False,
+                 sampler=None):
         """Generates captions for images + label token batches
         (API parity: caption_models.py:144-171, batched)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        sampler = sampler or ("approx" if approx_top_k else "exact")
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, approx_top_k,
+            eos_index, sampler,
         )
         return fn(params, (images, labels), key, caption, temperature)
 
@@ -495,7 +500,7 @@ class CaptioningTransformerBase:
 
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, approx_top_k=False):
+                       prefix_len, sampler="exact"):
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -518,7 +523,7 @@ class CaptioningTransformerBase:
             key, self._make_step(params, consts), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
-            greedy=greedy, approx_top_k=approx_top_k,
+            greedy=greedy, sampler=sampler,
             shuffle_fn=self._shuffle_state,
             eos_index=eos_index, pad_index=self.pad_index,
         )
@@ -526,9 +531,10 @@ class CaptioningTransformerBase:
     def generate_from_emb(self, params, enc, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
                           top_k=50, eos_index=EOS_ID, greedy=False,
-                          approx_top_k=False):
+                          approx_top_k=False, sampler=None):
         if key is None:
             key = jax.random.PRNGKey(0)
+        sampler = sampler or ("approx" if approx_top_k else "exact")
         # the positional table bounds total positions (start emb + tokens);
         # the reference would index past its table here (a latent upstream
         # IndexError at max_len=128 with char models) — we clamp instead
@@ -536,22 +542,24 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, approx_top_k,
+            eos_index, sampler,
         )
         return fn(params, enc, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
-                 eos_index=EOS_ID, greedy=False, approx_top_k=False):
+                 eos_index=EOS_ID, greedy=False, approx_top_k=False,
+                 sampler=None):
         """Batched caption generation
         (API parity: caption_models.py:280-306)."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        sampler = sampler or ("approx" if approx_top_k else "exact")
         max_len = min(max_len, self.max_len - 1)
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, approx_top_k,
+            eos_index, sampler,
         )
         return fn(params, images, key, caption, temperature)
 

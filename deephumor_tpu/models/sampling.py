@@ -84,24 +84,43 @@ def _log_softmax_gathered(filtered_logits, idx):
 
 
 def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
-                     approx=False):
-    """One exact full-vocab top_k, then candidate draw + scoring inside the
+                     sampler="exact"):
+    """One full-vocab top-k selection, then candidate draw + scoring in the
     reduced K-space (the hot-path equivalent of filter_top_k + draw: a
     token outside the top-K has weight exp(-inf) = 0 either way, so
     sampling within the top-K set draws the identical distribution — and
-    it costs ONE vocab-wide sort per step instead of two, with Gumbel
-    noise over K instead of V entries).
+    it costs ONE vocab-wide selection per step, with Gumbel noise over K
+    instead of V entries).
+
+    ``sampler``:
+      - "exact": lax.top_k sort (the parity path; greedy always uses it),
+      - "approx": lax.approx_max_k, recall 0.99 (serving),
+      - "pallas": fused threshold-search + on-core-PRNG Gumbel kernel
+        (deephumor_tpu/ops/pallas_sampler.py) — exact keep-ties top-k
+        filter, fastest serving path; draws the same distribution with a
+        different PRNG stream than jax.random.
 
     Returns (token_ids [..., k], scores [..., k]) where scores are the
-    reference's log_softmax-over-the-k-gathered-values numbers.
+    reference's log_softmax-over-the-k-gathered-values numbers
+    (raw untempered logits — beam.py:79-80).
     """
-    if approx and not greedy:
-        # serving fast path: TPU PartialReduce-based approximate top-k
-        # (recall 0.99) — ~3x cheaper than the exact sort; occasionally
-        # swaps a boundary candidate, leaving the argmax/greedy and parity
-        # paths untouched (they always use the exact sort). Selection runs
-        # in the decoder's compute dtype (bf16 halves the sort bandwidth);
-        # scoring below is f32 either way.
+    if sampler == "pallas" and not greedy:
+        from deephumor_tpu.ops.pallas_sampler import fused_topk_gumbel_sample
+
+        shape = logits.shape
+        flat = logits.reshape(-1, shape[-1])
+        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        tokens, vals = fused_topk_gumbel_sample(
+            flat, seed, inv_t, top_k=top_k, num_draws=k,
+            unk_index=unk_index,
+        )
+        scores = vals - jax.nn.logsumexp(vals, axis=-1, keepdims=True)
+        out_shape = shape[:-1] + (k,)
+        return tokens.reshape(out_shape), scores.reshape(out_shape)
+
+    if sampler == "approx" and not greedy:
+        # TPU PartialReduce-based approximate top-k (recall 0.99) in the
+        # decoder's compute dtype; occasionally swaps a boundary candidate
         vals, idx = jax.lax.approx_max_k(logits, top_k, recall_target=0.99)
     else:
         vals, idx = jax.lax.top_k(
@@ -135,7 +154,7 @@ def beam_search(
     prefix=None,
     prefix_len=0,
     greedy=False,
-    approx_top_k=False,
+    sampler="exact",
     shuffle_fn=None,
     eos_index=EOS_ID,
     unk_index=UNK_ID,
@@ -179,7 +198,7 @@ def beam_search(
     # --- initial draw: beam tokens from the prefill logits (one branch) ---
     first_idx, first_val = _topk_space_draw(
         k_init, init_logits, top_k, beam, inv_t, greedy, unk_index,
-        approx=approx_top_k,
+        sampler=sampler,
     )  # [B, beam] each
 
     seq = jnp.full((num_items, beam, max_len), pad_index, jnp.int32)
@@ -213,7 +232,7 @@ def beam_search(
         # copy and slows approx_max_k >2x on TPU (measured).
         new_idx, new_val = _topk_space_draw(
             jax.random.fold_in(step_key, 0), logits, top_k, beam, inv_t,
-            greedy, unk_index, approx=approx_top_k,
+            greedy, unk_index, sampler=sampler,
         )  # [B*beam, beam] each
         new_idx = new_idx.reshape(num_items, beam, beam)
         new_val = new_val.reshape(num_items, beam, beam)

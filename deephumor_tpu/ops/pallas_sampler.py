@@ -1,0 +1,186 @@
+"""Fused top-k filter + Gumbel-top-k sampling as a Pallas TPU kernel.
+
+The generation engine's per-step hot op is "filter logits to the top-K,
+then draw `beam` tokens without replacement from softmax(filtered/T)"
+(reference semantics, beam.py:32-48). The XLA path needs a vocab-wide
+top-k sort (`lax.top_k` / `approx_max_k`) — the single most expensive op
+of the decode step at serving batch sizes.
+
+This kernel exploits that the sampler never needs the *sorted* top-K set,
+only the K-th largest VALUE as a threshold:
+
+1. exact K-th-largest per row via a 31-step bitwise threshold search on
+   the total-order integer image of f32 (pure VPU compare+sum passes over
+   a VMEM-resident block — no sort),
+2. ties at the threshold are kept, which is EXACTLY the reference's
+   ``logits < kth`` filter (beam.py:33-35) — stricter parity than a
+   top-k set,
+3. Gumbel noise from the on-core PRNG perturbs the surviving logits
+   (UNK masked), and ``beam`` successive masked argmax passes emit the
+   sample — distribution-identical to multinomial-without-replacement.
+
+Returns (token ids, their raw logit values) so the engine's score
+normalization (log_softmax over the gathered values) stays outside in f32
+XLA. Used on the stochastic serving path; greedy/parity paths keep the
+exact XLA sort. PRNG: the on-core generator differs from jax.random, so
+draws differ sample-by-sample from the XLA path while sampling the same
+distribution; a fixed seed is fully deterministic.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_topk_gumbel_sample"]
+
+# plain Python literals: jnp scalars at module level would be captured as
+# constants by the kernel tracer (pallas requires literals or ref inputs)
+_NEG_LARGE = -3.0e38
+_INT_MIN = -2147483648
+
+
+def _order_key(x_f32):
+    """Monotone map f32 -> int32: signed-int order == float order."""
+    i = pltpu.bitcast(x_f32, jnp.int32)
+    return jnp.where(i < 0, i ^ jnp.int32(0x7FFFFFFF), i)
+
+
+def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
+            top_k, num_draws, unk_index, vocab):
+    rows = logits_ref.shape[0]
+
+    # decorrelate programs; same seed -> same draw
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
+    keys = _order_key(logits)
+
+    # ---- exact K-th largest value per row: bitwise threshold search ----
+    # t := max t s.t. count(keys >= t) >= K  (== the K-th largest key)
+    cnt_nonneg = jnp.sum((keys >= 0).astype(jnp.int32), axis=1,
+                         keepdims=True)
+    t = jnp.where(cnt_nonneg >= top_k, 0, _INT_MIN).astype(jnp.int32)
+
+    def refine(bit, t):
+        cand = t | (jnp.int32(1) << bit)
+        cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        return jnp.where(cnt >= top_k, cand, t)
+
+    # MSB-first (fori_loop counts up, so iterate bit = 30 - i)
+    t = jax.lax.fori_loop(0, 31, lambda i, t: refine(30 - i, t), t)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, vocab), 1)
+    keep = (keys >= t) & (col != unk_index)
+
+    # ---- Gumbel perturb + `num_draws` masked argmax passes ----
+    bits = pltpu.bitcast(pltpu.prng_random_bits((rows, vocab)), jnp.uint32)
+    # uniform in (0, 1): 24 high bits / 2^24, floored away from 0
+    # (uint32 -> f32 casts don't lower on TPU; the >>8 makes the value fit
+    # int32, so bitcast + int cast is exact)
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = bits24.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    u = jnp.maximum(u, jnp.float32(1e-10))
+    gumbel = -jnp.log(-jnp.log(u))
+
+    perturbed = jnp.where(keep, logits * invt_ref[0] + gumbel, _NEG_LARGE)
+
+    # num_draws is small and static: unrolled masked-argmax extraction
+    for j in range(num_draws):
+        m = jnp.max(perturbed, axis=1, keepdims=True)
+        is_max = perturbed == m
+        # smallest column index among maxima
+        idx = jnp.min(jnp.where(is_max, col, jnp.int32(vocab)), axis=1,
+                      keepdims=True)
+        hit = col == idx
+        val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
+                      keepdims=True)
+        ids_ref[:, j] = idx[:, 0]
+        vals_ref[:, j] = val[:, 0]
+        perturbed = jnp.where(hit, _NEG_LARGE, perturbed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "num_draws", "unk_index", "block_rows",
+                     "interpret"),
+)
+def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
+                             num_draws, unk_index=1, block_rows=64,
+                             interpret=False):
+    """Draws ``num_draws`` tokens/row ~ softmax(top_k_filter(logits)/T).
+
+    Args:
+        logits: ``[rows, V]`` (any float dtype; scored in f32).
+        seed: int32 scalar — deterministic per value.
+        inv_temperature: f32 scalar (traced).
+        top_k: filter size (ties at the threshold kept).
+        num_draws: tokens per row, without replacement.
+
+    Returns:
+        (ids ``[rows, num_draws]`` int32,
+         vals ``[rows, num_draws]`` f32 — raw logits at the drawn ids).
+    """
+    rows, vocab = logits.shape
+    block = min(block_rows, rows)
+    if rows % block != 0:
+        # pad rows to a whole number of blocks; extra rows are discarded
+        pad = block - rows % block
+        logits = jnp.pad(logits, ((0, pad), (0, 0)))
+        padded_rows = rows + pad
+    else:
+        padded_rows = rows
+
+    # output columns padded to the 128-lane tile
+    out_cols = 128
+
+    grid = (padded_rows // block,)
+    kernel = functools.partial(
+        _kernel, top_k=top_k, num_draws=num_draws, unk_index=unk_index,
+        vocab=vocab,
+    )
+    if interpret:
+        # TPU-specific primitives (prng_seed etc.) only interpret under
+        # the TPU interpreter context, not pallas_call(interpret=True)
+        import contextlib
+
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        return _call(kernel, grid, block, vocab, out_cols, padded_rows,
+                     rows, num_draws, logits, seed, inv_temperature)
+
+
+def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
+          num_draws, logits, seed, inv_temperature):
+    ids, vals = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, vocab), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
+            jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
+        ],
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(inv_temperature, jnp.float32).reshape(1),
+        logits,
+    )
+    return ids[:rows, :num_draws], vals[:rows, :num_draws]
