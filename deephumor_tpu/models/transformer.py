@@ -41,6 +41,10 @@ __all__ = [
     "mha_apply",
     "pff_init",
     "pff_apply",
+    "encoder_layer_init",
+    "encoder_layer_apply",
+    "transformer_encoder_init",
+    "transformer_encoder_forward",
     "transformer_decoder_init",
     "transformer_decoder_forward",
     "self_attn_decoder_init",
@@ -174,6 +178,74 @@ def _decoder_layer_apply(params, x, n_heads, enc_out=None, input_mask=None,
     ff = pff_apply(params["pf"], x, dropout, train, rngs[4])
     ff = L.dropout(rngs[5], ff, dropout, train) if train else ff
     return L.layer_norm(params["pf_ln"], x + ff)
+
+
+# ---------------------------------------------------------------------------
+# Encoder stack
+# ---------------------------------------------------------------------------
+#
+# The reference exports a TransformerEncoder that no caption model uses and
+# whose forward is broken (transformers.py:298 references a nonexistent
+# `self.padding_index` -> AttributeError with masking; SURVEY.md §2.1).
+# This is the working equivalent: same architecture (post-LN encoder
+# blocks, learned positions, tok_emb / sqrt(d)), functional API.
+
+def encoder_layer_init(key, hid_dim=512, pf_dim=2048, dtype=jnp.float32):
+    """Post-LN encoder block params (reference EncoderLayer,
+    transformers.py:168-218)."""
+    return _decoder_layer_init(key, hid_dim, pf_dim, cross_attention=False,
+                               dtype=dtype)
+
+
+def encoder_layer_apply(params, x, n_heads, input_mask=None, dropout=0.0,
+                        train=False, rng=None):
+    return _decoder_layer_apply(params, x, n_heads, input_mask=input_mask,
+                                dropout=dropout, train=train, rng=rng)
+
+
+def transformer_encoder_init(key, num_tokens, hid_dim=512, n_layers=6,
+                             pf_dim=2048, max_len=128, dtype=jnp.float32):
+    """Encoder stack params (reference TransformerEncoder,
+    transformers.py:221-306, minus the classifier it never had)."""
+    keys = jax.random.split(key, n_layers + 2)
+    return {
+        "tok_embedding": L.embedding_init(keys[0], num_tokens, hid_dim,
+                                          dtype),
+        "pos_embedding": L.embedding_init(keys[1], max_len, hid_dim, dtype),
+        "layers": [
+            encoder_layer_init(keys[2 + i], hid_dim, pf_dim, dtype)
+            for i in range(n_layers)
+        ],
+    }
+
+
+def transformer_encoder_forward(params, tokens, n_heads, pad_index=None,
+                                dropout=0.0, train=False, rng=None):
+    """Encodes token sequences ``[bs, T] -> [bs, T, hid_dim]``.
+
+    ``pad_index=None`` disables masking (the reference's intent at
+    transformers.py:248); note the reference DIVIDES token embeddings by
+    sqrt(hid_dim) (transformers.py:286), reproduced here.
+    """
+    bs, t = tokens.shape
+    hid_dim = params["tok_embedding"]["table"].shape[1]
+    emb = L.embed(params["tok_embedding"], tokens) / math.sqrt(hid_dim)
+    emb = emb + L.embed(params["pos_embedding"], jnp.arange(t)[None, :])
+
+    rngs = jax.random.split(rng, len(params["layers"]) + 1) \
+        if train and rng is not None else [None] * (len(params["layers"]) + 1)
+    if train:
+        emb = L.dropout(rngs[-1], emb, dropout, train)
+
+    mask = None
+    if pad_index is not None:
+        mask = get_pad_mask(tokens, tokens, pad_index)
+
+    x = emb
+    for i, layer in enumerate(params["layers"]):
+        x = encoder_layer_apply(layer, x, n_heads, input_mask=mask,
+                                dropout=dropout, train=train, rng=rngs[i])
+    return x
 
 
 # ---------------------------------------------------------------------------

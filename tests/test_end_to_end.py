@@ -1,0 +1,125 @@
+"""Full product-path integration: dataset on disk -> vocab -> train ->
+generate -> split -> render (BASELINE.json config 5, miniaturized)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.data import WordPunctTokenizer, build_vocab_from_file
+from deephumor_tpu.data.dataloaders import BatchIterator
+from deephumor_tpu.data.datasets import MemeDataset
+from deephumor_tpu.experiments import Trainer
+from deephumor_tpu.models import MODEL_REGISTRY
+from deephumor_tpu.pipeline import MemeGenerationPipeline
+
+WORDS = ["when", "you", "ship", "it", "works", "and", "the", "code",
+         "bug", "compiles", "first", "try"]
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("memes")
+    (root / "images").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8), "RGB"
+        ).save(root / "images" / f"t{i}.jpg")
+    with open(root / "templates.txt", "w") as f:
+        for i in range(2):
+            f.write(f"tmpl{i}\tlink\thttp://x/t{i}.jpg\n")
+    for split, n in (("train", 16), ("val", 8)):
+        with open(root / f"captions_{split}.txt", "w") as f:
+            for i in range(n):
+                cap = (" ".join(rng.choice(WORDS, 4)) + " <sep> "
+                       + " ".join(rng.choice(WORDS, 2)))
+                f.write(f"tmpl{i % 2}\t{i}\t{cap}\n")
+    return str(root)
+
+
+def test_train_generate_render(data_root, tmp_path):
+    tok = WordPunctTokenizer()
+    vocab = build_vocab_from_file(
+        os.path.join(data_root, "captions_train.txt"), tok, min_df=1
+    )
+    datasets = {
+        s: MemeDataset(data_root, vocab, tok, split=s)
+        for s in ("train", "val")
+    }
+    loaders = {
+        s: BatchIterator(datasets[s], 8, max_caption_len=10, seed=1)
+        for s in datasets
+    }
+
+    model = MODEL_REGISTRY["captioning_lstm"](
+        num_tokens=len(vocab), emb_dim=16, hidden_size=24, num_layers=1
+    )
+    trainer = Trainer(model, "e2e", log_dir=str(tmp_path),
+                      learning_rate=5e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, history = trainer.train(state, loaders, n_epochs=2)
+    trainer.close()
+    assert history[-1]["train"][0] < history[0]["train"][0]
+
+    # best checkpoint reloads and drives the serving pipeline
+    best = os.path.join(trainer.experiment_dir, "e2e.best")
+    model2, params = MODEL_REGISTRY["captioning_lstm"].from_pretrained(best)
+    pipe = MemeGenerationPipeline(model2, params, vocab)
+    pil_images = {
+        label: Image.open(datasets["train"].templates[label])
+        for label in datasets["train"].templates
+    }
+    for label in datasets["train"].templates:
+        pipe.add_template(
+            label, datasets["train"].images[label], pil_images[label]
+        )
+
+    ids = list(datasets["train"].templates) * 2
+    results = pipe.generate_memes(
+        ids, key=jax.random.PRNGKey(7), max_len=10, beam_size=3, top_k=8
+    )
+    assert len(results) == 4
+    for tid, text, img in results:
+        assert img is not None
+        assert img.size == (64, 48)
+
+
+def test_experiment_config_roundtrip(tmp_path):
+    from deephumor_tpu.utils.config import (
+        ExperimentConfig,
+        SamplingConfig,
+        TrainConfig,
+    )
+
+    model = MODEL_REGISTRY["captioning_transformer"](num_tokens=100)
+    cfg = ExperimentConfig.from_model(
+        model,
+        train=TrainConfig(n_epochs=3),
+        sampling=SamplingConfig.char_default(),
+        title="t",
+    )
+    cfg.save(tmp_path / "cfg.json")
+    cfg2 = ExperimentConfig.load(tmp_path / "cfg.json")
+    assert cfg2.build_model() == model
+    assert cfg2.sampling.max_len == 128
+    assert cfg2.train.n_epochs == 3
+
+
+def test_transformer_encoder_stack():
+    # the reference's exported-but-broken TransformerEncoder, working here
+    from deephumor_tpu.models import transformer as tfm
+
+    params = tfm.transformer_encoder_init(
+        jax.random.PRNGKey(0), num_tokens=30, hid_dim=16, n_layers=2,
+        pf_dim=24, max_len=12,
+    )
+    tokens = jnp.asarray([[5, 6, 7, 0, 0], [8, 9, 0, 0, 0]], jnp.int32)
+    out = tfm.transformer_encoder_forward(params, tokens, n_heads=4,
+                                          pad_index=0)
+    assert out.shape == (2, 5, 16)
+    assert np.isfinite(np.asarray(out)).all()
