@@ -281,11 +281,20 @@ def beam_search(
         return (dec_state, seq, val, ended, s + 1), None
 
     if steps > 1:
-        (state, seq, val, ended, _), _ = jax.lax.scan(
-            body,
-            (state, seq, val, ended, jnp.int32(1)),
-            None,
-            length=steps - 1,
+        # early-exit loop: the reference breaks when every branch has
+        # ended (rnn_models.py:131-132) — here as the while condition, so
+        # real workloads stop paying for steps after all beams hit EOS
+        # (identical results to running the full length: ended branches
+        # only ever append pads at score 0)
+        def cond(carry):
+            _, _, _, ended, s = carry
+            return (s < steps) & ~jnp.all(ended)
+
+        def while_body(carry):
+            return body(carry, None)[0]
+
+        (state, seq, val, ended, _) = jax.lax.while_loop(
+            cond, while_body, (state, seq, val, ended, jnp.int32(1))
         )
 
     # final pick among surviving branches (rnn_models.py:140-142)

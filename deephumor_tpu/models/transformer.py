@@ -410,19 +410,23 @@ def precompute_cross_attention(params, enc_out):
     return cross
 
 
-def _cached_attention(attn_params, x, cache_k, cache_v, n_heads, key_mask):
+def _cached_attention(attn_params, x, cache_k, cache_v, n_heads, key_mask,
+                      q=None):
     """Single-query attention against cached keys/values.
 
     Args:
-        x: query ``[bs, D]``.
+        x: query input ``[bs, D]``.
         cache_k/cache_v: ``[bs, T, D]`` (already projected).
         key_mask: bool ``[bs, T]``, True = masked.
+        q: optional pre-projected query (from a fused QKV matmul).
     """
     bs, t, d = cache_k.shape
     head_dim = d // n_heads
     scale = math.sqrt(head_dim)
 
-    q = L.linear(attn_params["fc_q"], x).reshape(bs, n_heads, 1, head_dim)
+    if q is None:
+        q = L.linear(attn_params["fc_q"], x)
+    q = q.reshape(bs, n_heads, 1, head_dim)
     k = cache_k.reshape(bs, t, n_heads, head_dim).transpose(0, 2, 1, 3)
     v = cache_v.reshape(bs, t, n_heads, head_dim).transpose(0, 2, 1, 3)
 
@@ -464,7 +468,7 @@ def _grouped_attention(attn_params, x, k_all, v_all, n_heads, key_mask):
 
 
 def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
-                        n_heads, key_valid):
+                        n_heads, key_valid, q=None):
     """Single-query self-attention over UNSHUFFLED per-slot caches.
 
     Beam search conventionally reorders the whole KV cache to surviving
@@ -490,7 +494,9 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
     head_dim = d // n_heads
     scale = math.sqrt(head_dim)
 
-    q = L.linear(attn_params["fc_q"], x).reshape(b, beam, n_heads, head_dim)
+    if q is None:
+        q = L.linear(attn_params["fc_q"], x)
+    q = q.reshape(b, beam, n_heads, head_dim)
     k = cache_k.reshape(b, beam, p, n_heads, head_dim)
     v = cache_v.reshape(b, beam, p, n_heads, head_dim)
 
@@ -540,8 +546,18 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
 
     new_cache = []
     for i, layer in enumerate(params["layers"]):
-        k_new = L.linear(layer["self_attn"]["fc_k"], x)
-        v_new = L.linear(layer["self_attn"]["fc_v"], x)
+        sa = layer["self_attn"]
+        # fused QKV projection: one [D, 3D] matmul per layer instead of
+        # three; the weight concat is loop-invariant and hoists out of the
+        # decode scan
+        qkv_w = jnp.concatenate(
+            [sa["fc_q"]["kernel"], sa["fc_k"]["kernel"], sa["fc_v"]["kernel"]],
+            axis=1,
+        )
+        qkv_b = jnp.concatenate(
+            [sa["fc_q"]["bias"], sa["fc_k"]["bias"], sa["fc_v"]["bias"]]
+        )
+        q_new, k_new, v_new = jnp.split(x @ qkv_w + qkv_b, 3, axis=-1)
         cache_k = jax.lax.dynamic_update_slice_in_dim(
             cache[i]["k"], k_new[:, None, :], pos, axis=1
         )
@@ -553,11 +569,12 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         if anc_onehot is not None:
             attn = _ancestry_attention(
                 layer["self_attn"], x, cache_k, cache_v, anc_onehot,
-                n_heads, self_key_valid,
+                n_heads, self_key_valid, q=q_new,
             )
         else:
             attn = _cached_attention(
-                layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask
+                layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask,
+                q=q_new,
             )
         x = L.layer_norm(layer["self_attn_ln"], x + attn)
 
