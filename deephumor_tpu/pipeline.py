@@ -62,6 +62,11 @@ class MemeGenerationPipeline:
         enc = self.model.encode(self.params, jnp.asarray(image)[None])
         self._cache[template_id] = enc
         if pil_image is not None:
+            # eager-load: a template is rendered by multiple worker threads
+            # concurrently, and PIL's lazy file-backed load is not
+            # thread-safe (one thread's load closes the fp mid-seek)
+            if hasattr(pil_image, "load"):
+                pil_image.load()
             self._images[template_id] = pil_image
 
     def add_templates(self, ids, images, pil_images=None, batch_size=32):
@@ -78,7 +83,10 @@ class MemeGenerationPipeline:
                 )
             if pil_images is not None:
                 for j, tid in enumerate(chunk):
-                    self._images[tid] = pil_images[start + j]
+                    img = pil_images[start + j]
+                    if hasattr(img, "load"):
+                        img.load()  # see add_template: render-thread safety
+                    self._images[tid] = img
 
     def _stack_features(self, ids):
         encs = [self._cache[tid] for tid in ids]
