@@ -27,11 +27,11 @@ Documented divergences from reference quirks (SURVEY.md §2.3), all fixes:
   (the reference only ever saved model weights).
 """
 
+import functools
 import json
 import os
 import time
 from datetime import datetime
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -118,10 +118,11 @@ class Trainer:
     def __init__(self, model, experiment_title="experiment",
                  log_dir="./logs", learning_rate=1e-3, clip_norm=3.0,
                  log_grad_norm=False, pad_index=0, schedule=None,
-                 weight_decay=0.0, phases=("train", "val")):
+                 weight_decay=0.0, phases=("train", "val"), donate=False):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
+        self.donate = donate
         self.phases = phases
         self.clip_norm = clip_norm
         self.learning_rate = learning_rate
@@ -184,7 +185,13 @@ class Trainer:
             pp = perplexity(logits, captions, lengths, pad)
             return loss, (pp, new_params)
 
-        @jax.jit
+        # with donate=True the incoming train state's buffers update in
+        # place instead of double-buffering (~2x memory headroom for the
+        # params+optimizer); callers must then follow the standard
+        # state = step(state) loop and never reuse a stepped-on state
+        donate = (0,) if self.donate else ()
+
+        @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(state, batch, rng):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (pp, new_params)), grads = grad_fn(

@@ -78,7 +78,7 @@ def main():
     trainer = Trainer(
         model, args.title or f"{args.model}-{args.mode}",
         log_dir=args.log_dir, learning_rate=args.learning_rate,
-        clip_norm=args.clip_norm,
+        clip_norm=args.clip_norm, donate=True,
     )
 
     mesh = None

@@ -251,3 +251,17 @@ class TestDataLayer:
         out = pad_collate(batch, max_caption_len=8, max_label_len=2)
         assert out["captions"].shape == (1, 8)
         assert out["labels"].shape == (1, 2)
+
+
+def test_donated_train_step_runs(tiny_model, batch, tmp_path):
+    """donate=True: the standard state = step(state) loop works."""
+    trainer = Trainer(tiny_model, "d", log_dir=str(tmp_path), donate=True)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer._build_steps()
+    rng = jax.random.PRNGKey(1)
+    for i in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = trainer._train_step(state, batch, sub)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state["step"]) == 3
+    trainer.close()
