@@ -231,3 +231,36 @@ class TestSamplerSemantics:
         seq1 = np.asarray(res["chosen"][1])
         assert (seq1 == 6).all()
         assert res["ended"][0].all() and not res["ended"][1].any()
+
+
+class TestReproducibility:
+    def test_same_key_same_output_stochastic(self):
+        model = CaptioningLSTM(
+            num_tokens=VOCAB, emb_dim=8, hidden_size=12, num_layers=1
+        )
+        dec = lstm_mod.lstm_decoder_init(jax.random.PRNGKey(0), VOCAB, 8, 12, 1)
+        params = {"decoder": dec}
+        emb = jax.random.normal(jax.random.PRNGKey(1), (3, 8))
+        kw = dict(max_len=10, beam_size=3, top_k=10, temperature=1.2)
+        a = model.generate_from_emb(params, emb, key=jax.random.PRNGKey(5), **kw)
+        b = model.generate_from_emb(params, emb, key=jax.random.PRNGKey(5), **kw)
+        np.testing.assert_array_equal(
+            np.asarray(a["chosen"]), np.asarray(b["chosen"])
+        )
+        c = model.generate_from_emb(params, emb, key=jax.random.PRNGKey(6), **kw)
+        assert (np.asarray(c["chosen"]) != np.asarray(a["chosen"])).any()
+
+    def test_scores_are_reference_normalized(self):
+        # scores must be sums of per-step log_softmax-over-k values -> <= 0
+        model = CaptioningLSTM(
+            num_tokens=VOCAB, emb_dim=8, hidden_size=12, num_layers=1
+        )
+        dec = lstm_mod.lstm_decoder_init(jax.random.PRNGKey(2), VOCAB, 8, 12, 1)
+        params = {"decoder": dec}
+        emb = jax.random.normal(jax.random.PRNGKey(3), (2, 8))
+        out = model.generate_from_emb(
+            params, emb, key=jax.random.PRNGKey(0), max_len=8, beam_size=3,
+            top_k=10,
+        )
+        scores = np.asarray(out["scores"])
+        assert (scores <= 1e-5).all() and np.isfinite(scores).all()
