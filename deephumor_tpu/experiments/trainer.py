@@ -256,7 +256,15 @@ class Trainer:
                                           metrics["grad_norm"], it)
             else:
                 metrics = self._eval_step(state["params"], batch)
-            total_loss += float(metrics["loss"]) * n
+            loss_value = float(metrics["loss"])
+            if not np.isfinite(loss_value):
+                # failure detection: halt on divergence instead of training
+                # on garbage (the reference has no guard at all, SURVEY §5)
+                raise FloatingPointError(
+                    f"non-finite loss {loss_value} at step "
+                    f"{int(state['step'])} ({phase})"
+                )
+            total_loss += loss_value * n
             total_pp += float(metrics["perplexity"]) * n
             total_n += n
 

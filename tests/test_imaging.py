@@ -82,3 +82,20 @@ def test_caption_image_uppercases(img):
     assert lines == ["LOWER"]
     out = caption_image(img.copy(), lines, get_maximal_font(img, "GGGGG", 40))
     assert (np.asarray(out) != 128).any()
+
+
+def test_golden_render():
+    """Pixel-exact golden render (SURVEY §4): stable given the pinned
+    Pillow + DejaVuSans-Bold in this environment."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "meme_320x240.png"
+    )
+    golden = np.asarray(Image.open(golden_path))
+    img = Image.new("RGB", (320, 240), (120, 100, 80))
+    out = np.asarray(
+        memeify_image(img, top="one does not simply",
+                      bottom="render a golden meme")
+    )
+    np.testing.assert_array_equal(out, golden)
