@@ -40,17 +40,25 @@ def _trim(seq):
     return seq
 
 
+@pytest.mark.parametrize("layout", ["word", "char"])
 @pytest.mark.parametrize("model_type", list(ORACLES))
-def test_torch_checkpoint_greedy_parity(model_type, tmp_path):
-    torch.manual_seed(hash(model_type) % (2**31))
-    oracle = ORACLES[model_type](VOCAB).eval()
+def test_torch_checkpoint_greedy_parity(model_type, layout, tmp_path):
+    """All 8 published checkpoint layouts: word/char x 4 architectures
+    (notebook cell 13 FILE_TO_CLASS). Word/char differ in vocab size and
+    max_len; both shapes must convert and decode with token parity."""
+    torch.manual_seed(hash(model_type + layout) % (2**31))
+    if layout == "char":
+        kw = ({"max_len": 40} if "transformer" in model_type else {})
+        oracle = ORACLES[model_type](VOCAB + 34, **kw).eval()
+    else:
+        oracle = ORACLES[model_type](VOCAB).eval()
     randomize_bn_stats(oracle, torch.Generator().manual_seed(11))
     ckpt = tmp_path / "model.pth"
     _save_ckpt(oracle, ckpt)
 
     model_cls = MODEL_REGISTRY[model_type]
     model, params = model_cls.from_torch(str(ckpt))
-    assert model.num_tokens == VOCAB
+    assert model.num_tokens == oracle.hp["num_tokens"]
 
     g = torch.Generator().manual_seed(12)
     image = torch.randn(1, 3, 64, 64, generator=g)
@@ -58,7 +66,8 @@ def test_torch_checkpoint_greedy_parity(model_type, tmp_path):
 
     with torch.no_grad():
         if model_type == "captioning_lstm_labels":
-            labels = torch.randint(6, VOCAB, (1, 3), generator=g)
+            labels = torch.randint(6, oracle.hp["num_tokens"], (1, 3),
+                                   generator=g)
             ref = oracle.greedy_decode(image, labels, MAX_LEN)
             res = model.generate(
                 params, image_nhwc, labels=jnp.asarray(labels.numpy()),
