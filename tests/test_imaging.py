@@ -99,3 +99,19 @@ def test_golden_render():
                       bottom="render a golden meme")
     )
     np.testing.assert_array_equal(out, golden)
+
+
+def test_golden_render_grid_border():
+    """The reference's offset-grid border mode, pixel-exact golden."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "meme_320x240_grid.png"
+    )
+    golden = np.asarray(Image.open(golden_path))
+    img = Image.new("RGB", (320, 240), (120, 100, 80))
+    out = np.asarray(
+        memeify_image(img, top="one does not simply",
+                      bottom="render a golden meme", border="grid")
+    )
+    np.testing.assert_array_equal(out, golden)
