@@ -12,7 +12,9 @@ reproduces the legacy (width, height-with-offset) numbers, so line-wrap and
 layout decisions match the reference pixel-for-pixel with the same font.
 """
 
+import functools
 import os
+import threading
 
 from PIL import Image, ImageDraw, ImageFont
 
@@ -37,6 +39,18 @@ def default_font_path():
     )
 
 
+_FONT_LOCK = threading.Lock()
+
+
+@functools.lru_cache(maxsize=512)
+def _load_font(font_path, size):
+    """Cached truetype load — the font-fitting search instantiates dozens
+    of sizes per meme, and the same sizes recur across a batch render.
+    FreeType face loading isn't thread-safe, hence the lock."""
+    with _FONT_LOCK:
+        return ImageFont.truetype(font_path, size)
+
+
 def _text_size(text, font):
     """(width, height) of ``text`` in ``font``, legacy-getsize compatible.
 
@@ -54,11 +68,11 @@ def get_maximal_font(img, text, font_size=64, text_width=0.94, font_path=None):
     Parity: reference caption.py:41-64.
     """
     font_path = font_path or default_font_path()
-    font = ImageFont.truetype(font_path, font_size)
+    font = _load_font(font_path, font_size)
     w, _ = _text_size(text, font)
     while w > img.width * text_width and font_size > 1:
         font_size -= 1
-        font = ImageFont.truetype(font_path, font_size)
+        font = _load_font(font_path, font_size)
         w, _ = _text_size(text, font)
     return font
 
@@ -77,7 +91,7 @@ def _get_final_font(img, text_lines, font_path=None):
     """Refit the font over all wrapped lines (reference caption.py:92-115)."""
     font_path = font_path or default_font_path()
     font_size = int(img.height / 5.4) // max(map(len, text_lines))
-    font = ImageFont.truetype(font_path, font_size)
+    font = _load_font(font_path, font_size)
 
     flat = [text for lines in text_lines for text in lines]
     widths = [_text_size(t, font)[0] for t in flat]

@@ -47,8 +47,13 @@ class MemeGenerationPipeline:
         self.delimiter = delimiter
         self.font_path = font_path
         self.render_workers = render_workers
-        self._cache = {}  # template id -> encoded features
+        self._cache = {}  # template id -> encoded features (row views)
         self._images = {}  # template id -> PIL image (for rendering)
+        # stacked feature store: one device array per feature leaf with a
+        # row per template; lookups are a single gather instead of an
+        # n-way concat per generate call
+        self._stacked = None
+        self._row = {}  # template id -> row index
 
     # -- template cache ------------------------------------------------------
     def add_template(self, template_id, image, pil_image=None):
@@ -61,6 +66,7 @@ class MemeGenerationPipeline:
         """
         enc = self.model.encode(self.params, jnp.asarray(image)[None])
         self._cache[template_id] = enc
+        self._append_stacked([template_id], enc)
         if pil_image is not None:
             # eager-load: a template is rendered by multiple worker threads
             # concurrently, and PIL's lazy file-backed load is not
@@ -81,6 +87,7 @@ class MemeGenerationPipeline:
                 self._cache[tid] = jax.tree.map(
                     lambda x: x[j : j + 1], enc
                 )
+            self._append_stacked(chunk, enc)
             if pil_images is not None:
                 for j, tid in enumerate(chunk):
                     img = pil_images[start + j]
@@ -88,11 +95,20 @@ class MemeGenerationPipeline:
                         img.load()  # see add_template: render-thread safety
                     self._images[tid] = img
 
+    def _append_stacked(self, ids, enc):
+        for j, tid in enumerate(ids):
+            self._row[tid] = len(self._row)
+        if self._stacked is None:
+            self._stacked = enc
+        else:
+            self._stacked = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0),
+                self._stacked, enc,
+            )
+
     def _stack_features(self, ids):
-        encs = [self._cache[tid] for tid in ids]
-        return jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *encs
-        )
+        idx = jnp.asarray([self._row[tid] for tid in ids], jnp.int32)
+        return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), self._stacked)
 
     # -- generation ----------------------------------------------------------
     def generate_captions(self, template_ids, key=None, **generate_kwargs):
