@@ -56,15 +56,25 @@ class MemeGenerationPipeline:
         self._row = {}  # template id -> row index
 
     # -- template cache ------------------------------------------------------
-    def add_template(self, template_id, image, pil_image=None):
+    def add_template(self, template_id, image, pil_image=None,
+                     label_ids=None):
         """Encodes and caches one template.
 
         Args:
             template_id: hashable id (e.g. label).
             image: preprocessed ``[224, 224, 3]`` float array.
             pil_image: optional original PIL image for rendering.
+            label_ids: template-label token ids ``[L]`` — required for the
+                labels-conditioned model family (its encoder consumes
+                image + label text).
         """
-        enc = self.model.encode(self.params, jnp.asarray(image)[None])
+        if label_ids is not None:
+            enc = self.model.encode(
+                self.params, jnp.asarray(image)[None],
+                jnp.asarray(label_ids)[None],
+            )
+        else:
+            enc = self.model.encode(self.params, jnp.asarray(image)[None])
         self._cache[template_id] = enc
         self._append_stacked([template_id], enc)
         if pil_image is not None:
@@ -75,14 +85,27 @@ class MemeGenerationPipeline:
                 pil_image.load()
             self._images[template_id] = pil_image
 
-    def add_templates(self, ids, images, pil_images=None, batch_size=32):
-        """Encodes templates in batches (one ResNet pass per batch)."""
+    def add_templates(self, ids, images, pil_images=None, batch_size=32,
+                      label_ids=None):
+        """Encodes templates in batches (one ResNet pass per batch).
+
+        ``label_ids``: optional ``[n, L]`` padded label-token matrix for
+        the labels-conditioned model family.
+        """
         images = np.asarray(images)
         for start in range(0, len(ids), batch_size):
             chunk = ids[start : start + batch_size]
-            enc = self.model.encode(
-                self.params, jnp.asarray(images[start : start + len(chunk)])
-            )
+            if label_ids is not None:
+                enc = self.model.encode(
+                    self.params,
+                    jnp.asarray(images[start : start + len(chunk)]),
+                    jnp.asarray(label_ids[start : start + len(chunk)]),
+                )
+            else:
+                enc = self.model.encode(
+                    self.params,
+                    jnp.asarray(images[start : start + len(chunk)]),
+                )
             for j, tid in enumerate(chunk):
                 self._cache[tid] = jax.tree.map(
                     lambda x: x[j : j + 1], enc

@@ -89,3 +89,27 @@ def test_orbax_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3)
     )
+
+
+def test_pipeline_labels_model():
+    """The labels-conditioned family serves through the pipeline with
+    per-template label tokens baked into the cached features."""
+    from deephumor_tpu.models import CaptioningLSTMWithLabels
+
+    vocab = Vocab(VOCAB_WORDS)
+    model = CaptioningLSTMWithLabels(
+        num_tokens=len(vocab), emb_dim=16, hidden_size=16, num_layers=1
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    pipe = MemeGenerationPipeline(model, params, vocab)
+
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    label_ids = rng.integers(6, len(vocab), (2, 4)).astype(np.int32)
+    pipe.add_templates(["a", "b"], images, label_ids=label_ids)
+
+    texts = pipe.generate_captions(
+        ["a", "b", "a"], key=jax.random.PRNGKey(1), max_len=8, beam_size=2,
+        top_k=5,
+    )
+    assert len(texts) == 3
