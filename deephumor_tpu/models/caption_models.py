@@ -41,7 +41,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from deephumor_tpu.data.vocab import EOS_ID, PAD_ID, UNK_ID
+from deephumor_tpu.data.vocab import EOS_ID
 from deephumor_tpu.models import layers as L
 from deephumor_tpu.models import lstm as lstm_mod
 from deephumor_tpu.models import transformer as tfm

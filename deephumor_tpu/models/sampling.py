@@ -76,13 +76,6 @@ def _select_k(key, log_weights, k, greedy):
     return gumbel_top_k(key, log_weights, k)
 
 
-def _log_softmax_gathered(filtered_logits, idx):
-    """Per-branch log_softmax over the k gathered logit values
-    (the reference's score normalization, beam.py:79-80)."""
-    gathered = jnp.take_along_axis(filtered_logits, idx, axis=-1)
-    return gathered - jax.nn.logsumexp(gathered, axis=-1, keepdims=True)
-
-
 def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
                      sampler="exact"):
     """One full-vocab top-k selection, then candidate draw + scoring in the

@@ -29,7 +29,6 @@ fixed values; the converter drops them).
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
