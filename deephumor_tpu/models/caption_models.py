@@ -81,9 +81,17 @@ def _cast_floats(tree, dtype):
     )
 
 
+def _default_attn_impl():
+    """Decode self-attention impl: the fused Pallas ancestry kernel on
+    accelerator backends, the XLA einsum form on CPU (where Pallas TPU
+    kernels can only run interpreted)."""
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 @functools.lru_cache(maxsize=256)
 def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
-                       top_k, greedy, eos_index, sampler="exact"):
+                       top_k, greedy, eos_index, sampler="exact",
+                       attn="xla"):
     """One compiled end-to-end generation program per (model hyperparams,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
@@ -102,7 +110,7 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
             params, enc, key, caption, temperature,
             max_len=max_len, beam_size=beam_size, top_k=top_k,
             greedy=greedy, eos_index=eos_index, prefix_len=prefix_len,
-            sampler=sampler,
+            sampler=sampler, attn=attn,
         )
 
     return jax.jit(fn)
@@ -202,7 +210,8 @@ class CaptioningLSTM:
 
     def _generate_impl(self, params, emb, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, sampler="exact"):
+                       prefix_len, sampler="exact", attn="xla"):
+        del attn  # recurrent state shuffles directly; no ancestry caches
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -451,9 +460,8 @@ class CaptioningTransformerBase:
         }
         return logits, state, None
 
-    def _make_step(self, params, consts=None):
+    def _make_step(self, params, consts=None, attn="xla"):
         scale = math.sqrt(self.hid_dim)
-        dtype = jnp.dtype(self.compute_dtype)
 
         def step(state, tokens):
             pos = state["pos"][0]
@@ -463,7 +471,6 @@ class CaptioningTransformerBase:
             anc = state["anc"].at[:, :, pos].set(
                 jnp.arange(beam, dtype=jnp.int32)[None, :]
             )
-            anc_onehot = jax.nn.one_hot(anc, beam, dtype=dtype)
             emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
             logits, cache = tfm.decode_step(
                 params["decoder"], emb, pos, state["cache"], valid,
@@ -472,7 +479,7 @@ class CaptioningTransformerBase:
                 enc_key_mask=(
                     None if consts is None else consts["enc_key_mask"]
                 ),
-                anc_onehot=anc_onehot,
+                anc=anc, attn_impl=attn,
             )
             return logits, {
                 "cache": cache,
@@ -500,7 +507,7 @@ class CaptioningTransformerBase:
 
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, sampler="exact"):
+                       prefix_len, sampler="exact", attn="xla"):
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -520,7 +527,7 @@ class CaptioningTransformerBase:
             (num_items, beam_size, max_positions),
         )
         return beam_search(
-            key, self._make_step(params, consts), state, logits,
+            key, self._make_step(params, consts, attn), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
             greedy=greedy, sampler=sampler,
@@ -531,10 +538,11 @@ class CaptioningTransformerBase:
     def generate_from_emb(self, params, enc, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
                           top_k=50, eos_index=EOS_ID, greedy=False,
-                          approx_top_k=False, sampler=None):
+                          approx_top_k=False, sampler=None, attn=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
+        attn = attn or _default_attn_impl()
         # the positional table bounds total positions (start emb + tokens);
         # the reference would index past its table here (a latent upstream
         # IndexError at max_len=128 with char models) — we clamp instead
@@ -542,24 +550,25 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler,
+            eos_index, sampler, attn,
         )
         return fn(params, enc, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
                  eos_index=EOS_ID, greedy=False, approx_top_k=False,
-                 sampler=None):
+                 sampler=None, attn=None):
         """Batched caption generation
         (API parity: caption_models.py:280-306)."""
         if key is None:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
+        attn = attn or _default_attn_impl()
         max_len = min(max_len, self.max_len - 1)
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler,
+            eos_index, sampler, attn,
         )
         return fn(params, images, key, caption, temperature)
 

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from deephumor_tpu.models import layers as L
+from deephumor_tpu.ops import pallas_attention as pallas_attn
 
 __all__ = [
     "mha_init",
@@ -518,7 +519,8 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 
 
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
-                n_heads, cross=None, enc_key_mask=None, anc_onehot=None):
+                n_heads, cross=None, enc_key_mask=None, anc=None,
+                attn_impl="xla"):
     """One incremental decode position.
 
     Args:
@@ -536,12 +538,28 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             groups — see :func:`_grouped_attention`).
         enc_key_mask: optional bool ``[groups, T_enc]``, True = masked
             encoder row (the reference masks all-zero rows).
+        anc: optional ``[B, beam, max_positions]`` int32 ancestry table —
+            switches self-attention to the unshuffled-cache beam form.
+        attn_impl: "xla" (einsum ancestry attention) or "pallas" /
+            "pallas_interpret" (ops/pallas_attention.py fused kernel —
+            reads the caches once in their stored layout).
 
     Returns:
         (logits ``[bs, num_tokens]``, updated cache)
     """
     x = token_emb_scaled + L.embed(params["pos_embedding"], pos)
     key_mask = ~self_key_valid
+
+    anc_onehot = anc_bias = None
+    if anc is not None:
+        if attn_impl.startswith("pallas"):
+            # selection + validity folded into one additive bias, computed
+            # once per step and shared by every layer
+            anc_bias = pallas_attn.ancestry_bias(
+                anc, self_key_valid, self_key_valid.shape[-1]
+            )
+        else:
+            anc_onehot = jax.nn.one_hot(anc, anc.shape[1], dtype=x.dtype)
 
     new_cache = []
     for i, layer in enumerate(params["layers"]):
@@ -565,7 +583,16 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         )
         new_cache.append({"k": cache_k, "v": cache_v})
 
-        if anc_onehot is not None:
+        if anc_bias is not None:
+            attn = L.linear(
+                layer["self_attn"]["fc_o"],
+                pallas_attn.ancestry_attention(
+                    q_new, cache_k, cache_v, anc_bias,
+                    beam=anc.shape[1], n_heads=n_heads,
+                    interpret=(attn_impl == "pallas_interpret"),
+                ),
+            )
+        elif anc_onehot is not None:
             attn = _ancestry_attention(
                 layer["self_attn"], x, cache_k, cache_v, anc_onehot,
                 n_heads, self_key_valid, q=q_new,
