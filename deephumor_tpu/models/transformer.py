@@ -28,6 +28,7 @@ as non-trainable checkpoint params, transformers.py:77-80 — constants with
 fixed values; the converter drops them).
 """
 
+import functools
 import math
 
 import jax
@@ -382,12 +383,18 @@ def self_attn_decoder_forward(params, tokens, start_emb, n_heads,
 # ---------------------------------------------------------------------------
 
 def init_cache(params, bs, max_positions, dtype=jnp.float32):
-    """Per-layer self-attention K/V caches ``[bs, max_positions, D]``."""
+    """Per-layer self-attention K/V caches ``[bs, P, D]``.
+
+    ``P`` is ``max_positions`` rounded up to the 8-sublane tile so the
+    Pallas cache-write kernel can address whole position tiles; the tail
+    positions are never written and masked out by validity everywhere.
+    """
     hid_dim = params["tok_embedding"]["table"].shape[1]
+    p = -(-max_positions // 8) * 8
     return [
         {
-            "k": jnp.zeros((bs, max_positions, hid_dim), dtype),
-            "v": jnp.zeros((bs, max_positions, hid_dim), dtype),
+            "k": jnp.zeros((bs, p, hid_dim), dtype),
+            "v": jnp.zeros((bs, p, hid_dim), dtype),
         }
         for _ in params["layers"]
     ]
@@ -548,16 +555,33 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         (logits ``[bs, num_tokens]``, updated cache)
     """
     x = token_emb_scaled + L.embed(params["pos_embedding"], pos)
+
+    # the cache position axis is padded to the 8-sublane tile
+    # (init_cache); widen validity/ancestry so every path masks the tail
+    p_cache = cache[0]["k"].shape[1]
+    p_valid = self_key_valid.shape[-1]
+    if p_cache != p_valid:
+        self_key_valid = jnp.pad(
+            self_key_valid, ((0, 0), (0, p_cache - p_valid)))
+        if anc is not None:
+            anc = jnp.pad(anc, ((0, 0), (0, 0), (0, p_cache - p_valid)))
     key_mask = ~self_key_valid
 
     anc_onehot = anc_bias = None
+    p_effs, p_branch = None, None
+    use_pallas_cache = False
     if anc is not None:
         if attn_impl.startswith("pallas"):
             # selection + validity folded into one additive bias, computed
             # once per step and shared by every layer
-            anc_bias = pallas_attn.ancestry_bias(
-                anc, self_key_valid, self_key_valid.shape[-1]
-            )
+            anc_bias = pallas_attn.ancestry_bias(anc, self_key_valid,
+                                                 p_cache)
+            use_pallas_cache = True
+            # NOTE: position-staged cache reads via lax.switch over p_eff
+            # variants were measured and REVERTED: XLA cannot donate the
+            # aliased cache buffers through a conditional, so every branch
+            # boundary materialized full cache copies (198 copies in the
+            # 30-step loop HLO) and lost more than the staging saved.
         else:
             anc_onehot = jax.nn.one_hot(anc, anc.shape[1], dtype=x.dtype)
 
@@ -575,33 +599,49 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             [sa["fc_q"]["bias"], sa["fc_k"]["bias"], sa["fc_v"]["bias"]]
         )
         q_new, k_new, v_new = jnp.split(x @ qkv_w + qkv_b, 3, axis=-1)
-        cache_k = jax.lax.dynamic_update_slice_in_dim(
-            cache[i]["k"], k_new[:, None, :], pos, axis=1
-        )
-        cache_v = jax.lax.dynamic_update_slice_in_dim(
-            cache[i]["v"], v_new[:, None, :], pos, axis=1
-        )
-        new_cache.append({"k": cache_k, "v": cache_v})
-
         if anc_bias is not None:
-            attn = L.linear(
-                layer["self_attn"]["fc_o"],
-                pallas_attn.ancestry_attention(
-                    q_new, cache_k, cache_v, anc_bias,
-                    beam=anc.shape[1], n_heads=n_heads,
-                    interpret=(attn_impl == "pallas_interpret"),
-                ),
+            # FUSED cache write + attention: the kernel substitutes this
+            # position's K/V into its streamed blocks, DMAs the touched
+            # 8-tile back in place (caches aliased/donated — no XLA dus,
+            # which costs a full cache copy per layer per step), and
+            # dispatches on pos so only the live cache prefix leaves HBM
+            kern = functools.partial(
+                pallas_attn.ancestry_attention_update,
+                beam=anc.shape[1], n_heads=n_heads,
+                interpret=(attn_impl == "pallas_interpret"),
             )
-        elif anc_onehot is not None:
-            attn = _ancestry_attention(
-                layer["self_attn"], x, cache_k, cache_v, anc_onehot,
-                n_heads, self_key_valid, q=q_new,
-            )
+            if p_branch is None:
+                attn, cache_k, cache_v = kern(
+                    q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
+                    anc_bias, pos,
+                )
+            else:
+                attn, cache_k, cache_v = jax.lax.switch(
+                    p_branch,
+                    [functools.partial(kern, p_eff=pe) for pe in p_effs],
+                    q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
+                    anc_bias, pos,
+                )
+            new_cache.append({"k": cache_k, "v": cache_v})
+            attn = L.linear(layer["self_attn"]["fc_o"], attn)
         else:
-            attn = _cached_attention(
-                layer["self_attn"], x, cache_k, cache_v, n_heads, key_mask,
-                q=q_new,
+            cache_k = jax.lax.dynamic_update_slice_in_dim(
+                cache[i]["k"], k_new[:, None, :], pos, axis=1
             )
+            cache_v = jax.lax.dynamic_update_slice_in_dim(
+                cache[i]["v"], v_new[:, None, :], pos, axis=1
+            )
+            new_cache.append({"k": cache_k, "v": cache_v})
+            if anc_onehot is not None:
+                attn = _ancestry_attention(
+                    layer["self_attn"], x, cache_k, cache_v, anc_onehot,
+                    n_heads, self_key_valid, q=q_new,
+                )
+            else:
+                attn = _cached_attention(
+                    layer["self_attn"], x, cache_k, cache_v, n_heads,
+                    key_mask, q=q_new,
+                )
         x = L.layer_norm(layer["self_attn_ln"], x + attn)
 
         if "enc_attn" in layer:

@@ -40,7 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ancestry_attention", "ancestry_bias"]
+__all__ = ["ancestry_attention", "ancestry_attention_update",
+           "ancestry_bias"]
 
 MASK_FILL = -1e8
 
@@ -86,8 +87,10 @@ def _kernel_native4d(q_ref, k_ref, v_ref, bias_ref, out_ref, e_ref, *,
                 q_h, k_ref[:, i, :, sl],
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            )                                        # [bi, beam, P]
-            e_ref[:, :, i, :] = e * inv_scale + bias_ref[:, :, i, :]
+            )                                        # [bi, beam, P_eff]
+            # the bias block always spans full P (lane-divisibility rule);
+            # p may be restricted to a prefix (p_eff partial cache read)
+            e_ref[:, :, i, :] = e * inv_scale + bias_ref[:, :, i, 0:p]
 
         e_all = e_ref[:]                             # [bi, beam, beam, P]
         # Mosaic only reduces one trailing axis at a time
@@ -174,10 +177,12 @@ def _kernel_blockdiag(q_ref, k_ref, v_ref, bias_ref, out_ref, *, beam, p,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam", "n_heads", "block_items", "interpret", "impl"),
+    static_argnames=("beam", "n_heads", "block_items", "interpret", "impl",
+                     "p_eff"),
 )
 def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
-                       block_items=16, interpret=False, impl="native4d"):
+                       block_items=None, interpret=False, impl="native4d",
+                       p_eff=None):
     """Single-query beam attention over unshuffled caches.
 
     Args:
@@ -191,6 +196,12 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
             (beam*P)-flattened caches — the flatten is a 38 MB retile per
             call), or "blockdiag" (one cross-group-masked dot per head;
             kept for ablation).
+        p_eff: native4d only — restrict reads/compute to the first
+            ``p_eff`` cache positions (a free partial BlockSpec read; the
+            decode loop dispatches on the current position so early steps
+            skip the untouched cache tail). Must cover every VALID
+            position; excluded positions must be invalid. Multiple of 8
+            (or == P).
 
     Returns:
         ``[B*beam, D]`` attention output (pre output-projection).
@@ -199,6 +210,10 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
     num_items = rows // beam
     head_dim = d_model // n_heads
     scale = float(head_dim) ** 0.5
+
+    if block_items is None:
+        block_items = 16  # measured sweet spot (bigger blocks hurt the
+        # DMA/compute pipeline; see STATUS.md round-2 notes)
 
     # block rows must be sublane-aligned (divisible by 8) unless the block
     # covers the whole row axis
@@ -222,8 +237,12 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
         ctx = contextlib.nullcontext()
 
     if impl == "native4d":
+        pe = p if p_eff is None else min(p_eff, p)
+        assert pe == p or pe % 8 == 0, (pe, p)
         # only FREE views: leading-dim splits keep the tiled (P, D) /
-        # trailing dims intact, so no cache bytes move outside the kernel
+        # trailing dims intact, so no cache bytes move outside the kernel.
+        # The position-axis BlockSpec covers only the first pe positions —
+        # a partial read, the cache tail never leaves HBM.
         qg = q.reshape(num_items, beam, d_model)
         kg = cache_k.reshape(num_items, beam, p, d_model)
         vg = cache_v.reshape(num_items, beam, p, d_model)
@@ -239,10 +258,10 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
                     pl.BlockSpec((block_items, beam, d_model),
                                  lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block_items, beam, p, d_model),
+                    pl.BlockSpec((block_items, beam, pe, d_model),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block_items, beam, p, d_model),
+                    pl.BlockSpec((block_items, beam, pe, d_model),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((block_items, beam, beam, p),
@@ -256,7 +275,7 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
                     (num_items, beam, d_model), q.dtype
                 ),
                 scratch_shapes=[
-                    pltpu.VMEM((block_items, beam, beam, p), jnp.float32),
+                    pltpu.VMEM((block_items, beam, beam, pe), jnp.float32),
                 ],
             )(qg, kg, vg, bias4)
         return out.reshape(rows, d_model)
@@ -318,3 +337,201 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
             ),
         )(qg, kg, vg, bias)
     return out.reshape(rows, d_model)
+
+
+def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
+                            vnew_ref, bias_ref, kout_ref, vout_ref, out_ref,
+                            e_ref, kw_ref, vw_ref, sem_k, sem_v, *,
+                            n_heads, scale, block_items):
+    """native4d attention FUSED with the per-step cache column write.
+
+    The decode step must append this position's K/V to the caches. Doing
+    that with an XLA ``dynamic_update_slice`` costs a full cache copy per
+    layer per step (the updated buffer has two consumers: the attention
+    custom-call and the loop carry). Here the caches are aliased
+    input->output (zero copy); the kernel substitutes the fresh column
+    into the VMEM blocks it already streamed for attention, and DMAs ONLY
+    the 8-position tile containing ``pos`` back to HBM (~1.1 MB of
+    writes per cache instead of a 38 MB copy).
+    """
+    pos = pos_ref[0]
+    grid_i = pl.program_id(0)
+    bi, beam, pe, d_model = k_ref.shape
+    head_dim = d_model // n_heads
+    inv_scale = 1.0 / scale
+
+    # substitute the fresh column into the streamed blocks
+    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, d_model),
+                                   2) == pos
+    kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
+    vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
+
+    # write back the (aligned) 8-tile containing pos: stage the stale tile
+    # into scratch (VMEM->VMEM copy — dynamic_slice of a value does not
+    # lower), masked-insert the fresh column, DMA out; overlaps the math
+    tile = pl.multiple_of((pos // 8) * 8, 8)
+    row0 = grid_i * block_items
+    dk = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :], kw_ref,
+                               sem_k)
+    dv = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :], vw_ref,
+                               sem_v)
+    dk.start()
+    dv.start()
+    dk.wait()
+    dv.wait()
+    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, d_model),
+                                    2) == pos % 8
+    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype), kw_ref[:])
+    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype), vw_ref[:])
+    dk = pltpu.make_async_copy(
+        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_k)
+    dv = pltpu.make_async_copy(
+        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_v)
+    dk.start()
+    dv.start()
+
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q_h = q_ref[:, :, sl]                       # [bi, beam, hd]
+        for i in range(beam):
+            e = jax.lax.dot_general(
+                q_h, kb[:, i, :, sl],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [bi, beam, P_eff]
+            e_ref[:, :, i, :] = e * inv_scale + bias_ref[:, :, i, 0:pe]
+
+        e_all = e_ref[:]                             # [bi, beam, beam, Pe]
+        m = jnp.max(jnp.max(e_all, axis=3, keepdims=True), axis=2,
+                    keepdims=True)
+        w = jnp.exp(e_all - m)
+        denom = jnp.sum(jnp.sum(w, axis=3, keepdims=True), axis=2,
+                        keepdims=True)
+        w = (w / denom).astype(vb.dtype)
+
+        acc = None
+        for i in range(beam):
+            part = jax.lax.dot_general(
+                w[:, :, i, :], vb[:, i, :, sl],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                        # [bi, beam, hd]
+            acc = part if acc is None else acc + part
+        out_ref[:, :, sl] = acc.astype(out_ref.dtype)
+
+    dk.wait()
+    dv.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam", "n_heads", "block_items", "interpret",
+                     "p_eff"),
+)
+def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
+                              *, beam, n_heads, block_items=None,
+                              interpret=False, p_eff=None):
+    """Fused: write (k_new, v_new) at ``pos``, then ancestry attention.
+
+    Equivalent to ``cache_k[:, pos] = k_new; cache_v[:, pos] = v_new``
+    followed by :func:`ancestry_attention`, but the caches are updated IN
+    PLACE (aliased, donated) with a 1.1 MB tile write instead of a full
+    XLA buffer copy.
+
+    Args:
+        q, cache_k/cache_v, bias: as :func:`ancestry_attention`; the
+            cache position axis must be a multiple of 8 (init_cache pads).
+        k_new/v_new: ``[B*beam, D]`` this position's entries.
+        pos: int32 scalar decode position (< p_eff if given).
+
+    Returns:
+        (attention output ``[B*beam, D]``, cache_k, cache_v).
+    """
+    rows, p, d_model = cache_k.shape
+    num_items = rows // beam
+    head_dim = d_model // n_heads
+    scale = float(head_dim) ** 0.5
+    assert p % 8 == 0, p
+
+    pe_budget = p if p_eff is None else min(p_eff, p)
+    if block_items is None:
+        # double-buffered K/V blocks + tile scratch must fit scoped VMEM
+        block_items = 16 if pe_budget <= 16 else 8
+    block_items = min(block_items, num_items)
+    while block_items < num_items and (
+        num_items % block_items != 0 or (block_items * beam) % 8 != 0
+    ):
+        block_items -= 1
+    if block_items < 1:
+        block_items = num_items
+
+    pe = p if p_eff is None else min(p_eff, p)
+    assert pe % 8 == 0, (pe, p)
+
+    qg = q.reshape(num_items, beam, d_model)
+    kg = cache_k.reshape(num_items, beam, p, d_model)
+    vg = cache_v.reshape(num_items, beam, p, d_model)
+    knew = k_new.astype(cache_k.dtype).reshape(num_items, beam, 1, d_model)
+    vnew = v_new.astype(cache_v.dtype).reshape(num_items, beam, 1, d_model)
+    bias4 = bias.reshape(num_items, beam, beam, p)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _kernel_native4d_update, n_heads=n_heads, scale=scale,
+        block_items=block_items,
+    )
+    if interpret:
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        kc, vc, out = pl.pallas_call(
+            kernel,
+            grid=(num_items // block_items,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block_items, beam, d_model),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, pe, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, pe, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, 1, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, 1, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, beam, p),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((block_items, beam, d_model),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(kg.shape, kg.dtype),
+                jax.ShapeDtypeStruct(vg.shape, vg.dtype),
+                jax.ShapeDtypeStruct((num_items, beam, d_model), q.dtype),
+            ),
+            input_output_aliases={2: 0, 3: 1},
+            scratch_shapes=[
+                pltpu.VMEM((block_items, beam, beam, pe), jnp.float32),
+                pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
+                pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=100 * 2 ** 20,
+            ),
+        )(pos_arr, qg, kg, vg, knew, vnew, bias4)
+    return (out.reshape(rows, d_model),
+            kc.reshape(rows, p, d_model),
+            vc.reshape(rows, p, d_model))

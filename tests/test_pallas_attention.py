@@ -102,3 +102,30 @@ def test_generation_parity_xla_vs_pallas():
             beam_size=4, top_k=8, greedy=True, attn=attn)
         outs[attn] = np.asarray(out["chosen"])
     np.testing.assert_array_equal(outs["xla"], outs["pallas_interpret"])
+
+
+def test_fused_update_matches_write_then_attend(data):
+    # ancestry_attention_update == cache[:, pos] = new; ancestry_attention
+    from deephumor_tpu.ops.pallas_attention import ancestry_attention_update
+
+    q, k, v, anc, valid = data
+    rng = np.random.default_rng(7)
+    k_new = jnp.asarray(rng.normal(size=(ROWS, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(ROWS, D)).astype(np.float32))
+    pos = 5
+    bias = ancestry_bias(anc, valid, P)
+
+    ck = np.asarray(k).copy()
+    cv = np.asarray(v).copy()
+    ck[:, pos] = np.asarray(k_new)
+    cv[:, pos] = np.asarray(v_new)
+    want_anc = np.asarray(anc).copy()
+    want = np.asarray(_einsum_reference(
+        q, jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(want_anc), valid))
+
+    out, k2, v2 = ancestry_attention_update(
+        q, k, v, k_new, v_new, bias, pos, beam=BEAM, n_heads=H,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(k2), ck, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), cv, atol=1e-6)
