@@ -645,10 +645,30 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         x = L.layer_norm(layer["self_attn_ln"], x + attn)
 
         if "enc_attn" in layer:
-            attn = _grouped_attention(
-                layer["enc_attn"], x, cross[i]["ek"], cross[i]["ev"],
-                n_heads, enc_key_mask,
-            )
+            if anc_bias is not None:
+                # same batched-tiny-dot fix as self-attention: one rank-3
+                # dot per head in a Pallas kernel instead of the einsum's
+                # (groups x heads) MXU stubs
+                ea = layer["enc_attn"]
+                cross_bias = None
+                if enc_key_mask is not None:
+                    cross_bias = jnp.where(
+                        enc_key_mask[:, None, :], MASK_FILL, 0.0
+                    ).astype(jnp.float32)
+                attn = L.linear(
+                    ea["fc_o"],
+                    pallas_attn.grouped_cross_attention(
+                        L.linear(ea["fc_q"], x), cross[i]["ek"],
+                        cross[i]["ev"], cross_bias,
+                        groups=cross[i]["ek"].shape[0], n_heads=n_heads,
+                        interpret=(attn_impl == "pallas_interpret"),
+                    ),
+                )
+            else:
+                attn = _grouped_attention(
+                    layer["enc_attn"], x, cross[i]["ek"], cross[i]["ev"],
+                    n_heads, enc_key_mask,
+                )
             x = L.layer_norm(layer["enc_attn_ln"], x + attn)
 
         ff = pff_apply(layer["pf"], x)

@@ -535,3 +535,92 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     return (out.reshape(rows, d_model),
             kc.reshape(rows, p, d_model),
             vc.reshape(rows, p, d_model))
+
+
+def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *, n_heads,
+                  scale):
+    # grouped single-step cross-attention: beam rows share their item's
+    # encoder K/V (transformer._grouped_attention). The XLA einsum puts
+    # heads in a dot batch dim -> thousands of 5-row MXU stubs per step;
+    # here it is one rank-3 dot per (head, side) over VMEM blocks.
+    inv_scale = 1.0 / scale
+    _, _, d_model = q_ref.shape
+    head_dim = d_model // n_heads
+
+    bias = bias_ref[:]                            # [bi, 1, T] f32
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        e = jax.lax.dot_general(
+            q_ref[:, :, sl], k_ref[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_scale + bias                      # [bi, r, T]
+        attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
+        out_ref[:, :, sl] = jax.lax.dot_general(
+            attn, v_ref[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups", "n_heads", "block_items", "interpret"),
+)
+def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
+                            block_items=16, interpret=False):
+    """Single-query cross-attention of ``G*r`` rows over per-group K/V.
+
+    Args:
+        q: ``[G*r, D]`` pre-projected queries (r = rows per group).
+        ek/ev: ``[G, T, D]`` per-group encoder keys/values (pre-projected,
+            loop-invariant across decode steps).
+        bias: ``[G, 1, T]`` f32 additive mask (0 or -1e8), or None.
+
+    Returns:
+        ``[G*r, D]`` attention output (pre output-projection).
+    """
+    rows, d_model = q.shape
+    g, t, _ = ek.shape
+    r = rows // g
+    head_dim = d_model // n_heads
+    scale = float(head_dim) ** 0.5
+
+    if bias is None:
+        bias = jnp.zeros((g, 1, t), jnp.float32)
+
+    block_items = min(block_items, g)
+    while block_items < g and (
+        g % block_items != 0 or (block_items * r) % 8 != 0
+    ):
+        block_items -= 1
+    if block_items < 1:
+        block_items = g
+
+    qg = q.reshape(g, r, d_model)
+    kernel = functools.partial(_kernel_cross, n_heads=n_heads, scale=scale)
+
+    if interpret:
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=(g // block_items,),
+            in_specs=[
+                pl.BlockSpec((block_items, r, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, 1, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_items, r, d_model),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, r, d_model), q.dtype),
+        )(qg, ek, ev, bias)
+    return out.reshape(rows, d_model)

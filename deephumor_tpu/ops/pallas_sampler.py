@@ -55,6 +55,11 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
     # decorrelate programs; same seed -> same draw
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
+    # bf16 inputs occupy only the top 16 bits of the f32 order key, so the
+    # threshold search below can stop at bit 15 — the dominant cost of the
+    # kernel is these count passes over [rows, V], and this halves them
+    low_bits = 15 if logits_ref.dtype == jnp.bfloat16 else 0
+
     logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
     keys = _order_key(logits)
 
@@ -71,7 +76,8 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
         return jnp.where(cnt >= top_k, cand, t)
 
     # MSB-first (fori_loop counts up, so iterate bit = 30 - i)
-    t = jax.lax.fori_loop(0, 31, lambda i, t: refine(30 - i, t), t)
+    t = jax.lax.fori_loop(0, 31 - low_bits,
+                          lambda i, t: refine(30 - i, t), t)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, vocab), 1)
     keep = (keys >= t) & (col != unk_index)
