@@ -605,6 +605,11 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             # 8-tile back in place (caches aliased/donated — no XLA dus,
             # which costs a full cache copy per layer per step), and
             # dispatches on pos so only the live cache prefix leaves HBM
+            # (ancestry_attention_update_flash — position-staged tile
+            # reads — was measured end-to-end and reverted: the per-tile
+            # flash bookkeeping quintuples the kernel's issue count and
+            # costs 6.1 ms/step at late positions vs 2.85 plain, far more
+            # than the early-step DMA savings are worth.)
             kern = functools.partial(
                 pallas_attn.ancestry_attention_update,
                 beam=anc.shape[1], n_heads=n_heads,

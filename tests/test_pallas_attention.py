@@ -129,3 +129,29 @@ def test_fused_update_matches_write_then_attend(data):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
     np.testing.assert_allclose(np.asarray(k2), ck, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v2), cv, atol=1e-6)
+
+
+def test_flash_variant_matches_fused_update(data):
+    # position-staged kernel (kept as a documented negative result for the
+    # serving path) must still be numerically exact at every tile boundary
+    from deephumor_tpu.ops.pallas_attention import (
+        ancestry_attention_update, ancestry_attention_update_flash)
+
+    q, k, v, anc, _ = data
+    rng = np.random.default_rng(3)
+    k_new = jnp.asarray(rng.normal(size=(ROWS, D)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(ROWS, D)).astype(np.float32))
+    for pos in (0, 7, 8, 15):
+        valid = np.zeros((ROWS, P), bool)
+        valid[:, :pos + 1] = True
+        bias = ancestry_bias(anc, jnp.asarray(valid), P)
+        o1, k1, v1 = ancestry_attention_update(
+            q, k, v, k_new, v_new, bias, pos, beam=BEAM, n_heads=H,
+            interpret=True)
+        o2, k2, v2 = ancestry_attention_update_flash(
+            q, k, v, k_new, v_new, bias, pos, beam=BEAM, n_heads=H,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
