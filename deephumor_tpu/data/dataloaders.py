@@ -49,7 +49,7 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size, max_caption_len=32,
                  max_label_len=8, shuffle=True, seed=0, drop_last=True,
-                 fast=True):
+                 fast=True, image_rows=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_caption_len = max_caption_len
@@ -57,6 +57,11 @@ class BatchIterator:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # trunk-feature-cache mode: image_rows maps template key -> row in
+        # a precomputed feature store (Trainer.build_trunk_cache); batches
+        # then carry int32 "image_rows" instead of image pixels — no
+        # per-batch 224x224 host stacking at all
+        self.image_rows = image_rows
         self._epoch = 0
         # fast path: whole-split pre-encoded id matrices (native batch
         # tokenizer) + image lookups, instead of per-item tokenization
@@ -91,14 +96,20 @@ class BatchIterator:
                 )
             if self._mat is not None:
                 keys = self._mat["image_keys"]
-                images = np.stack(
-                    [self.dataset.images[keys[int(i)]] for i in idx]
-                ).astype(np.float32)
-                yield {
+                batch = {
                     "labels": self._mat["labels"][idx],
                     "captions": self._mat["captions"][idx],
-                    "images": images,
                 }
+                if self.image_rows is not None:
+                    batch["image_rows"] = np.asarray(
+                        [self.image_rows[keys[int(i)]] for i in idx],
+                        np.int32,
+                    )
+                else:
+                    batch["images"] = np.stack(
+                        [self.dataset.images[keys[int(i)]] for i in idx]
+                    ).astype(np.float32)
+                yield batch
             else:
                 batch = [self.dataset[int(i)] for i in idx]
                 yield pad_collate(

@@ -48,6 +48,7 @@ from deephumor_tpu.models import transformer as tfm
 from deephumor_tpu.models.encoders import (
     image_encoder_apply,
     image_encoder_init,
+    image_encoder_trunk,
     image_label_encoder_apply,
     image_label_encoder_init,
 )
@@ -161,22 +162,29 @@ class CaptioningLSTM:
         }
 
     # -- training ----------------------------------------------------------
+    def trunk(self, params, images):
+        """Frozen-ResNet features ``[bs, 7, 7, 2048]`` — deterministic per
+        image; cache them and train with ``forward(..., from_trunk=True)``
+        (see Trainer.build_trunk_cache)."""
+        return image_encoder_trunk(params["encoder"], images)
+
     def forward(self, params, images, captions, lengths=None, train=False,
-                rng=None):
+                rng=None, from_trunk=False):
         """Teacher-forced logits ``[bs, T+1, num_tokens]``
         (parity: caption_models.py:42-46)."""
         if train:
             r_enc, r_dec = jax.random.split(rng)
             emb, new_enc = image_encoder_apply(
                 params["encoder"], images, dropout=self.enc_dropout,
-                train=True, rng=r_enc,
+                train=True, rng=r_enc, from_trunk=from_trunk,
             )
             logits = lstm_mod.lstm_decoder_forward(
                 params["decoder"], emb, captions,
                 dropout=self.dec_dropout, train=True, rng=r_dec,
             )
             return logits, dict(params, encoder=new_enc)
-        emb = image_encoder_apply(params["encoder"], images)
+        emb = image_encoder_apply(params["encoder"], images,
+                                  from_trunk=from_trunk)
         return lstm_mod.lstm_decoder_forward(params["decoder"], emb, captions)
 
     # -- inference ---------------------------------------------------------
@@ -310,8 +318,12 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
     def _decoder_embedding(self, params):
         return params["encoder"]["label_encoder"]["embedding"]
 
+    def trunk(self, params, images):
+        return image_encoder_trunk(params["encoder"]["image_encoder"],
+                                   images)
+
     def forward(self, params, images, captions, lengths=None, labels=None,
-                train=False, rng=None):
+                train=False, rng=None, from_trunk=False):
         decoder = dict(
             params["decoder"], embedding=self._decoder_embedding(params)
         )
@@ -320,13 +332,15 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
             emb, new_enc = image_label_encoder_apply(
                 params["encoder"], images, labels,
                 dropout=self.enc_dropout, train=True, rng=r_enc,
+                from_trunk=from_trunk,
             )
             logits = lstm_mod.lstm_decoder_forward(
                 decoder, emb, captions,
                 dropout=self.dec_dropout, train=True, rng=r_dec,
             )
             return logits, dict(params, encoder=new_enc)
-        emb = image_label_encoder_apply(params["encoder"], images, labels)
+        emb = image_label_encoder_apply(params["encoder"], images, labels,
+                                        from_trunk=from_trunk)
         return lstm_mod.lstm_decoder_forward(decoder, emb, captions)
 
     def encode(self, params, images, labels=None):
@@ -407,14 +421,20 @@ class CaptioningTransformerBase:
         }
 
     # -- training ----------------------------------------------------------
+    def trunk(self, params, images):
+        """Frozen-ResNet features ``[bs, 7, 7, 2048]`` — deterministic per
+        image; cache them and train with ``forward(..., from_trunk=True)``
+        (see Trainer.build_trunk_cache)."""
+        return image_encoder_trunk(params["encoder"], images)
+
     def forward(self, params, images, captions, lengths=None, train=False,
-                rng=None):
+                rng=None, from_trunk=False):
         """Teacher-forced logits (parity: caption_models.py:259-278)."""
         if train:
             r_enc, r_dec = jax.random.split(rng)
             emb, new_enc = image_encoder_apply(
                 params["encoder"], images, dropout=self.enc_dropout,
-                train=True, rng=r_enc,
+                train=True, rng=r_enc, from_trunk=from_trunk,
             )
             logits = tfm.self_attn_decoder_forward(
                 params["decoder"], captions, emb, self.n_heads,
@@ -422,7 +442,8 @@ class CaptioningTransformerBase:
                 train=True, rng=r_dec,
             )
             return logits, dict(params, encoder=new_enc)
-        emb = image_encoder_apply(params["encoder"], images)
+        emb = image_encoder_apply(params["encoder"], images,
+                                  from_trunk=from_trunk)
         return tfm.self_attn_decoder_forward(
             params["decoder"], captions, emb, self.n_heads,
             pad_index=self.pad_index,
@@ -607,13 +628,14 @@ class CaptioningTransformer(CaptioningTransformerBase):
     cross_attention = True
 
     def forward(self, params, images, captions, lengths=None, train=False,
-                rng=None):
+                rng=None, from_trunk=False):
         """Teacher-forced logits (parity: caption_models.py:393-406)."""
         if train:
             r_enc, r_dec = jax.random.split(rng)
             (emb, spatial), new_enc = image_encoder_apply(
                 params["encoder"], images, spatial_features=True,
                 dropout=self.enc_dropout, train=True, rng=r_enc,
+                from_trunk=from_trunk,
             )
             logits = tfm.transformer_decoder_forward(
                 params["decoder"], captions, spatial, emb, self.n_heads,
@@ -622,7 +644,8 @@ class CaptioningTransformer(CaptioningTransformerBase):
             )
             return logits, dict(params, encoder=new_enc)
         emb, spatial = image_encoder_apply(
-            params["encoder"], images, spatial_features=True
+            params["encoder"], images, spatial_features=True,
+            from_trunk=from_trunk,
         )
         return tfm.transformer_decoder_forward(
             params["decoder"], captions, spatial, emb, self.n_heads,

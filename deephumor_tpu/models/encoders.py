@@ -26,6 +26,7 @@ from deephumor_tpu.models.resnet import resnet50_features, resnet50_init
 __all__ = [
     "image_encoder_init",
     "image_encoder_apply",
+    "image_encoder_trunk",
     "label_encoder_init",
     "label_encoder_apply",
     "image_label_encoder_init",
@@ -44,6 +45,19 @@ def image_encoder_init(key, emb_dim=256, dtype=jnp.float32):
     }
 
 
+def image_encoder_trunk(params, images):
+    """The frozen ResNet trunk alone: NHWC images -> ``[bs, 7, 7, 2048]``.
+
+    The trunk runs in eval mode with frozen weights (reference
+    encoders.py:35-36), so its output per image is DETERMINISTIC across
+    training — cache it once per template and train the (tiny) head +
+    decoder against the cached features (``from_trunk=True`` below).
+    """
+    return jax.lax.stop_gradient(
+        resnet50_features(params["resnet"], images)
+    )
+
+
 def image_encoder_apply(
     params,
     images,
@@ -52,18 +66,21 @@ def image_encoder_apply(
     dropout=0.2,
     train=False,
     rng=None,
+    from_trunk=False,
 ):
-    """Encodes NHWC images.
+    """Encodes NHWC images (or precomputed trunk features).
 
     Returns ``emb [bs, emb_dim]`` or ``(emb, spatial_emb [bs, 49, emb_dim])``
     when ``spatial_features``; in train mode the result is wrapped as
     ``(out, new_params)``.
+
+    With ``from_trunk`` the ``images`` argument is the
+    :func:`image_encoder_trunk` output ``[bs, 7, 7, 2048]`` and the ResNet
+    is skipped entirely.
     """
     # the trunk is frozen (reference encoders.py:35-36 requires_grad=False);
     # stop_gradient keeps autodiff from building a useless ResNet backward
-    feats = jax.lax.stop_gradient(
-        resnet50_features(params["resnet"], images)
-    )  # [bs, 7, 7, C]
+    feats = images if from_trunk else image_encoder_trunk(params, images)
     bs = feats.shape[0]
 
     # global path: avgpool over the spatial grid -> shared linear -> BN
@@ -116,7 +133,8 @@ def image_label_encoder_init(key, num_tokens, emb_dim=256, dtype=jnp.float32):
 
 
 def image_label_encoder_apply(
-    params, images, labels, *, dropout=0.2, train=False, rng=None
+    params, images, labels, *, dropout=0.2, train=False, rng=None,
+    from_trunk=False
 ):
     """Combined image+label embedding ``[bs, emb_dim]``."""
     new_params = params
@@ -128,6 +146,7 @@ def image_label_encoder_apply(
             dropout=dropout,
             train=True,
             rng=r_img,
+            from_trunk=from_trunk,
         )
         new_params = dict(params, image_encoder=new_img)
         label_emb = label_encoder_apply(
@@ -138,7 +157,8 @@ def image_label_encoder_apply(
             rng=r_lab,
         )
     else:
-        image_emb = image_encoder_apply(params["image_encoder"], images)
+        image_emb = image_encoder_apply(params["image_encoder"], images,
+                                        from_trunk=from_trunk)
         label_emb = label_encoder_apply(params["label_encoder"], labels)
 
     emb = jnp.concatenate([image_emb, label_emb], axis=1)

@@ -306,6 +306,18 @@ def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
     dec_seq_len = t + 1  # start_emb occupies position 0
     seq_len = max(dec_seq_len, enc_len)
 
+    pos_rows = params["pos_embedding"]["table"].shape[0]
+    if seq_len > pos_rows:
+        # the pad-to-common-length quirk means training needs positions up
+        # to max(T+1, T_enc). The reference crashes with an IndexError
+        # here; jax would silently gather NaN fills — fail loudly instead.
+        raise ValueError(
+            f"positional table has {pos_rows} rows but the padded "
+            f"sequence needs {seq_len} (decoder {dec_seq_len}, encoder "
+            f"{enc_len}); construct the model with max_len >= "
+            f"{seq_len}"
+        )
+
     # pad both streams to the common length (transformers.py:449-452)
     tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - dec_seq_len)),
                      constant_values=pad_index)

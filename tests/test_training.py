@@ -265,3 +265,85 @@ def test_donated_train_step_runs(tiny_model, batch, tmp_path):
     assert np.isfinite(float(metrics["loss"]))
     assert int(state["step"]) == 3
     trainer.close()
+
+
+class TestTrunkCache:
+    """Trunk-feature cached training must be numerically identical to the
+    full forward (the frozen ResNet runs in eval mode, so its features per
+    image are deterministic; rng streams for the head/decoder are
+    unchanged)."""
+
+    def test_cached_step_identical(self, tiny_model, batch, tmp_path):
+        trainer = Trainer(tiny_model, "t", log_dir=str(tmp_path))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        trainer._build_steps()
+        rng = jax.random.PRNGKey(3)
+        _, m_full = trainer._train_step(state, batch, rng)
+
+        # fake "dataset": two unique templates, rows point at them
+        class DS:
+            images = {"a": batch["images"][0], "b": batch["images"][1]}
+
+        rows_map = trainer.build_trunk_cache(state["params"], DS())
+        assert rows_map == {"a": 0, "b": 1}
+        trainer._build_steps()
+        cached_batch = dict(batch)
+        del cached_batch["images"]
+        cached_batch["image_rows"] = np.array([0, 1, 0, 1], np.int32)
+        # reference: full forward on the matching images
+        ref_batch = dict(batch)
+        ref_batch["images"] = batch["images"][[0, 1, 0, 1]]
+        s1, m_ref = trainer._train_step(state, ref_batch, rng)
+        s2, m_cached = trainer._train_step(state, cached_batch, rng)
+        np.testing.assert_allclose(
+            float(m_cached["loss"]), float(m_ref["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_cached["grad_norm"]), float(m_ref["grad_norm"]),
+            rtol=1e-4)
+        del s1, s2  # post-Adam params amplify float fusion noise; the
+        # loss/grad_norm equalities above already pin the gradient tree
+        e_ref = trainer._eval_step(state["params"], ref_batch)
+        e_cached = trainer._eval_step(state["params"], cached_batch)
+        np.testing.assert_allclose(
+            float(e_cached["loss"]), float(e_ref["loss"]), rtol=1e-6)
+        trainer.close()
+
+    def test_batch_iterator_image_rows(self, tmp_path):
+        from PIL import Image
+
+        root = tmp_path / "memes"
+        (root / "images").mkdir(parents=True)
+        with open(root / "templates.txt", "w") as f:
+            for label, url in (("one", "http://x/one.jpg"),
+                               ("two", "http://x/two.jpg")):
+                f.write(f"{label}\tlink\t{url}\n")
+                Image.new("RGB", (80, 60), (100, 50, 20)).save(
+                    root / "images" / url.split("/")[-1])
+        with open(root / "captions_train.txt", "w") as f:
+            for i in range(4):
+                f.write(f"{('one', 'two')[i % 2]}\t{i}\thello bye\n")
+        vocab = Vocab(["hello", "bye", "one", "two"])
+        ds = MemeDataset(str(root), vocab, split="train",
+                         preload_images=True)
+        rows_map = {k: i for i, k in enumerate(ds.images.keys())}
+        it = BatchIterator(ds, batch_size=2, max_caption_len=8,
+                           max_label_len=4, image_rows=rows_map)
+        b = next(iter(it))
+        assert "images" not in b
+        assert b["image_rows"].dtype == np.int32
+        assert set(b["image_rows"].tolist()) <= set(rows_map.values())
+
+    def test_pos_table_too_small_raises(self):
+        # the pad-to-common-length quirk needs positions up to
+        # max(T+1, T_enc); jax would silently gather NaNs — must raise
+        from deephumor_tpu.models import CaptioningTransformer
+
+        model = CaptioningTransformer(
+            num_tokens=32, hid_dim=16, n_layers=1, n_heads=2, pf_dim=32,
+            max_len=10)
+        params = model.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        images = rng.normal(size=(2, 224, 224, 3)).astype(np.float32)
+        captions = rng.integers(6, 32, (2, 8)).astype(np.int32)
+        with pytest.raises(ValueError, match="positional table"):
+            model.forward(params, images, captions)
