@@ -22,7 +22,7 @@ ITEMS, BEAM, P, D, HEADS = 224, 5, 40, 512, 8
 ROWS = ITEMS * BEAM
 
 
-def timeit(fn, *args, iters=50, **kw):
+def timeit(fn, *args, iters=500, **kw):
     """Times ``fn`` amortized inside ONE jitted fori_loop (per-dispatch
     latency through the remote tunnel is ~1 ms and would swamp a
     call-per-iteration measurement; the real decode loop is one jit)."""

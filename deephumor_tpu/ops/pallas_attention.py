@@ -360,36 +360,31 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
     head_dim = d_model // n_heads
     inv_scale = 1.0 / scale
 
-    # substitute the fresh column into the streamed blocks
-    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, d_model),
-                                   2) == pos
+    # start the writeback tile staging IMMEDIATELY (VMEM->VMEM copy of the
+    # 8-tile containing pos — dynamic_slice of a value does not lower, so
+    # it goes through scratch); the wait is deferred until after the
+    # attention math so the copy hides behind compute (the up-front wait
+    # cost ~0.05 ms/layer — benchmarks/attn_v3.py)
+    tile = pl.multiple_of((pos // 8) * 8, 8)
+    row0 = grid_i * block_items
+    dk_in = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :],
+                                  kw_ref, sem_k)
+    dv_in = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :],
+                                  vw_ref, sem_v)
+    dk_in.start()
+    dv_in.start()
+
+    # substitute the fresh column into the streamed blocks. The predicate
+    # is a [.., P, 1] iota broadcast across lanes (a full-shape iota adds
+    # two more VPU passes over cache-sized blocks)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, 1), 2) == pos
     kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
     vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
 
-    # write back the (aligned) 8-tile containing pos: stage the stale tile
-    # into scratch (VMEM->VMEM copy — dynamic_slice of a value does not
-    # lower), masked-insert the fresh column, DMA out; overlaps the math
-    tile = pl.multiple_of((pos // 8) * 8, 8)
-    row0 = grid_i * block_items
-    dk = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :], kw_ref,
-                               sem_k)
-    dv = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :], vw_ref,
-                               sem_v)
-    dk.start()
-    dv.start()
-    dk.wait()
-    dv.wait()
-    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, d_model),
-                                    2) == pos % 8
-    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype), kw_ref[:])
-    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype), vw_ref[:])
-    dk = pltpu.make_async_copy(
-        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_k)
-    dv = pltpu.make_async_copy(
-        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_v)
-    dk.start()
-    dv.start()
-
+    # energies for ALL heads land in the head-leading scratch; softmax
+    # then runs ONCE over [H, bi, beam, beam, Pe] instead of as 8 small
+    # per-head passes (fewer, fuller VPU ops — ~0.03 ms/layer,
+    # benchmarks/attn_v3.py)
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q_h = q_ref[:, :, sl]                       # [bi, beam, hd]
@@ -399,16 +394,19 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )                                        # [bi, beam, P_eff]
-            e_ref[:, :, i, :] = e * inv_scale + bias_ref[:, :, i, 0:pe]
+            e_ref[h, :, :, i, :] = e * inv_scale + bias_ref[:, :, i, 0:pe]
 
-        e_all = e_ref[:]                             # [bi, beam, beam, Pe]
-        m = jnp.max(jnp.max(e_all, axis=3, keepdims=True), axis=2,
+    e_all = e_ref[:]                             # [H, bi, beam, beam, Pe]
+    m = jnp.max(jnp.max(e_all, axis=4, keepdims=True), axis=3,
+                keepdims=True)
+    w_all = jnp.exp(e_all - m)
+    denom = jnp.sum(jnp.sum(w_all, axis=4, keepdims=True), axis=3,
                     keepdims=True)
-        w = jnp.exp(e_all - m)
-        denom = jnp.sum(jnp.sum(w, axis=3, keepdims=True), axis=2,
-                        keepdims=True)
-        w = (w / denom).astype(vb.dtype)
+    w_all = (w_all / denom).astype(vb.dtype)
 
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        w = w_all[h]
         acc = None
         for i in range(beam):
             part = jax.lax.dot_general(
@@ -419,8 +417,22 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
             acc = part if acc is None else acc + part
         out_ref[:, :, sl] = acc.astype(out_ref.dtype)
 
-    dk.wait()
-    dv.wait()
+    # writeback: wait the staged tiles, insert the fresh column, DMA the
+    # tiles back in place (caches aliased input->output)
+    dk_in.wait()
+    dv_in.wait()
+    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
+                                    2) == pos % 8
+    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype), kw_ref[:])
+    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype), vw_ref[:])
+    dk_out = pltpu.make_async_copy(
+        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_k)
+    dv_out = pltpu.make_async_copy(
+        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_v)
+    dk_out.start()
+    dv_out.start()
+    dk_out.wait()
+    dv_out.wait()
 
 
 @functools.partial(
@@ -521,7 +533,8 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
             ),
             input_output_aliases={2: 0, 3: 1},
             scratch_shapes=[
-                pltpu.VMEM((block_items, beam, beam, pe), jnp.float32),
+                pltpu.VMEM((n_heads, block_items, beam, beam, pe),
+                           jnp.float32),
                 pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
                 pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
                 pltpu.SemaphoreType.DMA,
