@@ -50,7 +50,7 @@ def stream_read(ck, cv, block_rows=80):
     )(ck, cv)
 
 
-def timeit(fn, *args, iters=50):
+def timeit(fn, *args, iters=500):
     @jax.jit
     def loop(a):
         def body(_, acc):

@@ -488,7 +488,7 @@ class CaptioningTransformerBase:
         }
         return logits, state, None
 
-    def _make_step(self, params, consts=None, attn="xla"):
+    def _make_step(self, params, consts=None, attn="xla", p_eff=None):
         scale = math.sqrt(self.hid_dim)
 
         def step(state, tokens):
@@ -507,7 +507,7 @@ class CaptioningTransformerBase:
                 enc_key_mask=(
                     None if consts is None else consts["enc_key_mask"]
                 ),
-                anc=anc, attn_impl=attn,
+                anc=anc, attn_impl=attn, p_eff=p_eff,
             )
             return logits, {
                 "cache": cache,
@@ -554,12 +554,31 @@ class CaptioningTransformerBase:
             jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
             (num_items, beam_size, max_positions),
         )
+        # staged cache-read budget: the pallas attention kernel reads only
+        # the first p_eff cache positions, so the token loop runs as a few
+        # static phases whose budget grows with the decode position —
+        # early steps never stream the cache tail (exact same results;
+        # sampling.beam_search ``phases``). Step s needs
+        # p_eff >= prefix_len + s + 1.
+        phases = None
+        if attn.startswith("pallas"):
+            p_cache = -(-max_positions // 8) * 8
+            steps = max_len - prefix_len
+            bounds = []
+            for pe in range(16, p_cache, 8):
+                last_step = pe - prefix_len - 1
+                if 1 <= last_step < steps - 1:
+                    bounds.append((last_step, self._make_step(
+                        params, consts, attn, p_eff=pe)))
+            bounds.append(
+                (steps - 1, self._make_step(params, consts, attn)))
+            phases = bounds
         return beam_search(
             key, self._make_step(params, consts, attn), state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
             greedy=greedy, sampler=sampler,
-            shuffle_fn=self._shuffle_state,
+            shuffle_fn=self._shuffle_state, phases=phases,
             eos_index=eos_index, pad_index=self.pad_index,
         )
 

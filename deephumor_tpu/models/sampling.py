@@ -149,6 +149,7 @@ def beam_search(
     greedy=False,
     sampler="exact",
     shuffle_fn=None,
+    phases=None,
     eos_index=EOS_ID,
     unk_index=UNK_ID,
     pad_index=PAD_ID,
@@ -169,6 +170,15 @@ def beam_search(
         prefix: optional ``[B, prefix_len]`` fixed beginning tokens.
         prefix_len: its static length.
         greedy: deterministic argmax mode (parity surface).
+        phases: optional ``[(last_step, step_fn), ...]`` — runs the token
+            loop as SEQUENTIAL while_loops, switching step_fn once the
+            step counter passes ``last_step`` (the final entry's bound is
+            ignored; it covers the rest). Used to grow the decoder's
+            static cache-read budget (p_eff) with the position so early
+            steps never stream the untouched cache tail: phase boundaries
+            are static, so the aliased in-place cache buffers thread
+            through without the copies a per-step lax.switch would force.
+            Results are IDENTICAL to the single-phase loop.
 
     Returns:
         dict with ``sequences [B, beam, max_len]``, ``scores [B, beam]``,
@@ -210,7 +220,7 @@ def beam_search(
     # the scan iterates s = 1 .. steps-1 (step 0 drawn above)
     steps = max_len - prefix_len
 
-    def body(carry, xs):
+    def body(carry, xs, step_fn=step_fn):
         dec_state, seq, val, ended, s = carry
         step_key = jax.random.fold_in(k_scan, s)
 
@@ -278,17 +288,29 @@ def beam_search(
         # ended (rnn_models.py:131-132) — here as the while condition, so
         # real workloads stop paying for steps after all beams hit EOS
         # (identical results to running the full length: ended branches
-        # only ever append pads at score 0)
-        def cond(carry):
-            _, _, _, ended, s = carry
-            return (s < steps) & ~jnp.all(ended)
+        # only ever append pads at score 0). With ``phases``, one
+        # while_loop per phase runs back-to-back; an exhausted workload
+        # falls through the remaining phases' conditions immediately.
+        if phases is None:
+            bounds_fns = [(steps - 1, step_fn)]
+        else:
+            bounds_fns = [(min(b, steps - 1), f) for b, f in phases[:-1]]
+            bounds_fns.append((steps - 1, phases[-1][1]))
 
-        def while_body(carry):
-            return body(carry, None)[0]
+        carry = (state, seq, val, ended, jnp.int32(1))
+        for last_step, fn in bounds_fns:
+            if not isinstance(last_step, int) or last_step < 1:
+                continue
 
-        (state, seq, val, ended, _) = jax.lax.while_loop(
-            cond, while_body, (state, seq, val, ended, jnp.int32(1))
-        )
+            def cond(carry, last_step=last_step):
+                _, _, _, ended, s = carry
+                return (s <= last_step) & ~jnp.all(ended)
+
+            def while_body(carry, fn=fn):
+                return body(carry, None, step_fn=fn)[0]
+
+            carry = jax.lax.while_loop(cond, while_body, carry)
+        (state, seq, val, ended, _) = carry
 
     # final pick among surviving branches (rnn_models.py:140-142)
     final_idx = _select_k(k_final, val * inv_t, 1, greedy)[:, 0]

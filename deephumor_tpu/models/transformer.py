@@ -539,7 +539,7 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 n_heads, cross=None, enc_key_mask=None, anc=None,
-                attn_impl="xla"):
+                attn_impl="xla", p_eff=None):
     """One incremental decode position.
 
     Args:
@@ -562,6 +562,17 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         attn_impl: "xla" (einsum ancestry attention) or "pallas" /
             "pallas_interpret" (ops/pallas_attention.py fused kernel —
             reads the caches once in their stored layout).
+        p_eff: optional STATIC cache-read budget for the pallas path —
+            the attention kernel streams only the first ``p_eff``
+            positions of each cache (a partial BlockSpec read; the tail
+            never leaves HBM). Must be a multiple of 8 covering every
+            valid position (pos < p_eff). The generation engine runs the
+            decode loop in p_eff phases (sampling.beam_search ``phases``)
+            — a per-step ``lax.switch`` over variants was measured and
+            REVERTED in round 2: XLA cannot donate the aliased cache
+            buffers through a conditional, so every branch boundary
+            materialized full cache copies. Sequential while_loops keep
+            the alias chain intact.
 
     Returns:
         (logits ``[bs, num_tokens]``, updated cache)
@@ -580,7 +591,6 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
     key_mask = ~self_key_valid
 
     anc_onehot = anc_bias = None
-    p_effs, p_branch = None, None
     use_pallas_cache = False
     if anc is not None:
         if attn_impl.startswith("pallas"):
@@ -589,11 +599,6 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             anc_bias = pallas_attn.ancestry_bias(anc, self_key_valid,
                                                  p_cache)
             use_pallas_cache = True
-            # NOTE: position-staged cache reads via lax.switch over p_eff
-            # variants were measured and REVERTED: XLA cannot donate the
-            # aliased cache buffers through a conditional, so every branch
-            # boundary materialized full cache copies (198 copies in the
-            # 30-step loop HLO) and lost more than the staging saved.
         else:
             anc_onehot = jax.nn.one_hot(anc, anc.shape[1], dtype=x.dtype)
 
@@ -615,30 +620,17 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             # FUSED cache write + attention: the kernel substitutes this
             # position's K/V into its streamed blocks, DMAs the touched
             # 8-tile back in place (caches aliased/donated — no XLA dus,
-            # which costs a full cache copy per layer per step), and
-            # dispatches on pos so only the live cache prefix leaves HBM
-            # (ancestry_attention_update_flash — position-staged tile
-            # reads — was measured end-to-end and reverted: the per-tile
-            # flash bookkeeping quintuples the kernel's issue count and
-            # costs 6.1 ms/step at late positions vs 2.85 plain, far more
-            # than the early-step DMA savings are worth.)
-            kern = functools.partial(
-                pallas_attn.ancestry_attention_update,
-                beam=anc.shape[1], n_heads=n_heads,
-                interpret=(attn_impl == "pallas_interpret"),
+            # which costs a full cache copy per layer per step). The
+            # static ``p_eff`` (see docstring) restricts the read to the
+            # live cache prefix. (ancestry_attention_update_flash —
+            # position-staged tile reads — was measured end-to-end and
+            # reverted: the per-tile flash bookkeeping quintuples the
+            # kernel's issue count, far more than the DMA savings.)
+            attn, cache_k, cache_v = pallas_attn.ancestry_attention_update(
+                q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
+                anc_bias, pos, beam=anc.shape[1], n_heads=n_heads,
+                interpret=(attn_impl == "pallas_interpret"), p_eff=p_eff,
             )
-            if p_branch is None:
-                attn, cache_k, cache_v = kern(
-                    q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
-                    anc_bias, pos,
-                )
-            else:
-                attn, cache_k, cache_v = jax.lax.switch(
-                    p_branch,
-                    [functools.partial(kern, p_eff=pe) for pe in p_effs],
-                    q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
-                    anc_bias, pos,
-                )
             new_cache.append({"k": cache_k, "v": cache_v})
             attn = L.linear(layer["self_attn"]["fc_o"], attn)
         else:

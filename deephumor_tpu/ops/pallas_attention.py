@@ -341,7 +341,7 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
 
 def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
                             vnew_ref, bias_ref, kout_ref, vout_ref, out_ref,
-                            e_ref, kw_ref, vw_ref, sem_k, sem_v, *,
+                            kw_ref, vw_ref, sem_k, sem_v, *,
                             n_heads, scale, block_items):
     """native4d attention FUSED with the per-step cache column write.
 
@@ -381,41 +381,29 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
     kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
     vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
 
-    # energies for ALL heads land in the head-leading scratch; softmax
-    # then runs ONCE over [H, bi, beam, beam, Pe] instead of as 8 small
-    # per-head passes (fewer, fuller VPU ops — ~0.03 ms/layer,
-    # benchmarks/attn_v3.py)
-    for h in range(n_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q_h = q_ref[:, :, sl]                       # [bi, beam, hd]
-        for i in range(beam):
-            e = jax.lax.dot_general(
-                q_h, kb[:, i, :, sl],
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                        # [bi, beam, P_eff]
-            e_ref[h, :, :, i, :] = e * inv_scale + bias_ref[:, :, i, 0:pe]
-
-    e_all = e_ref[:]                             # [H, bi, beam, beam, Pe]
-    m = jnp.max(jnp.max(e_all, axis=4, keepdims=True), axis=3,
-                keepdims=True)
-    w_all = jnp.exp(e_all - m)
-    denom = jnp.sum(jnp.sum(w_all, axis=4, keepdims=True), axis=3,
-                    keepdims=True)
-    w_all = (w_all / denom).astype(vb.dtype)
+    # merge (slot, position) INSIDE the kernel: contrary to the round-2
+    # note below (earlier jax/Mosaic rejected leading-dim shape casts),
+    # this reshape now lowers — so each head runs ONE rank-3 QK dot and
+    # ONE AV dot over the flat beam*Pe axis instead of a beam-slot loop
+    # of tiny dots (0.302 -> 0.270 ms/layer, benchmarks/attn_v3.py), and
+    # softmax reduces a single trailing axis
+    kb2 = kb.reshape(bi, beam * pe, d_model)
+    vb2 = vb.reshape(bi, beam * pe, d_model)
+    bias = bias_ref[:]                               # [bi, beam, beam*Pe]
 
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        w = w_all[h]
-        acc = None
-        for i in range(beam):
-            part = jax.lax.dot_general(
-                w[:, :, i, :], vb[:, i, :, sl],
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                        # [bi, beam, hd]
-            acc = part if acc is None else acc + part
-        out_ref[:, :, sl] = acc.astype(out_ref.dtype)
+        e = jax.lax.dot_general(
+            q_ref[:, :, sl], kb2[:, :, sl],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_scale + bias                         # [bi, beam, beam*Pe]
+        attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
+        out_ref[:, :, sl] = jax.lax.dot_general(
+            attn, vb2[:, :, sl],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
     # writeback: wait the staged tiles, insert the fresh column, DMA the
     # tiles back in place (caches aliased input->output)
@@ -485,7 +473,14 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     vg = cache_v.reshape(num_items, beam, p, d_model)
     knew = k_new.astype(cache_k.dtype).reshape(num_items, beam, 1, d_model)
     vnew = v_new.astype(cache_v.dtype).reshape(num_items, beam, 1, d_model)
-    bias4 = bias.reshape(num_items, beam, beam, p)
+    # the kernel consumes the bias over the FLAT (slot, position) axis; a
+    # p_eff restriction re-flattens with the matching stride (tiny tensor,
+    # XLA-side, once per step)
+    if pe == p:
+        bias_flat = bias.reshape(num_items, beam, beam * p)
+    else:
+        bias_flat = bias.reshape(num_items, beam, beam, p)[
+            ..., :pe].reshape(num_items, beam, beam * pe)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
     kernel = functools.partial(
@@ -516,8 +511,8 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
                 pl.BlockSpec((block_items, beam, 1, d_model),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, beam, p),
-                             lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((block_items, beam, beam * pe),
+                             lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -533,8 +528,6 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
             ),
             input_output_aliases={2: 0, 3: 1},
             scratch_shapes=[
-                pltpu.VMEM((n_heads, block_items, beam, beam, pe),
-                           jnp.float32),
                 pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
                 pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
                 pltpu.SemaphoreType.DMA,
@@ -544,7 +537,7 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 2 ** 20,
             ),
-        )(pos_arr, qg, kg, vg, knew, vnew, bias4)
+        )(pos_arr, qg, kg, vg, knew, vnew, bias_flat)
     return (out.reshape(rows, d_model),
             kc.reshape(rows, p, d_model),
             vc.reshape(rows, p, d_model))

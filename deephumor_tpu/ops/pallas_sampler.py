@@ -94,19 +94,31 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
 
     perturbed = jnp.where(keep, logits * invt_ref[0] + gumbel, _NEG_LARGE)
 
-    # num_draws is small and static: unrolled masked-argmax extraction
+    # pack (perturbed order key, column) into ONE int32: the top 19 bits
+    # carry the key, the low 13 the column (flipped so ties at equal
+    # truncated keys resolve to the smallest column). argmax of `packed`
+    # then yields BOTH the winner and its index in a single max pass, and
+    # the winning element is unique by construction (columns differ), so
+    # the without-replacement update needs no separate index scan.
+    # Truncating the key's low 13 bits can swap candidates whose perturbed
+    # scores agree to ~2^-10 relative — a second-order distributional
+    # effect (the swapped candidates were near-equiprobable), acceptable
+    # on this stochastic serving path (greedy/parity paths use exact XLA
+    # top-k upstream).
+    assert vocab <= 1 << 13, vocab
+    pcol = jnp.int32((1 << 13) - 1) - col
+    packed = (_order_key(perturbed) & jnp.int32(~((1 << 13) - 1))) | pcol
+
+    # num_draws is small and static: unrolled packed-argmax extraction
     for j in range(num_draws):
-        m = jnp.max(perturbed, axis=1, keepdims=True)
-        is_max = perturbed == m
-        # smallest column index among maxima
-        idx = jnp.min(jnp.where(is_max, col, jnp.int32(vocab)), axis=1,
-                      keepdims=True)
+        m = jnp.max(packed, axis=1, keepdims=True)
+        idx = jnp.int32((1 << 13) - 1) - (m & jnp.int32((1 << 13) - 1))
         hit = col == idx
         val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
                       keepdims=True)
         ids_ref[:, j] = idx[:, 0]
         vals_ref[:, j] = val[:, 0]
-        perturbed = jnp.where(hit, _NEG_LARGE, perturbed)
+        packed = jnp.where(hit, _INT_MIN, packed)
 
 
 @functools.partial(
