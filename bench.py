@@ -26,7 +26,7 @@ VOCAB = 8192
 HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
 BEAM = 5
 MAX_LEN = 32
-BATCH = 224  # memes per call (single-chip sweet spot, see STATUS.md)
+BATCH = 896  # memes per call (post flat-dot-kernel sweet spot; 224-2240 swept)
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE.json north star / v5e-8 chips
 
 
