@@ -118,7 +118,8 @@ class Trainer:
     def __init__(self, model, experiment_title="experiment",
                  log_dir="./logs", learning_rate=1e-3, clip_norm=3.0,
                  log_grad_norm=False, pad_index=0, schedule=None,
-                 weight_decay=0.0, phases=("train", "val"), donate=False):
+                 weight_decay=0.0, phases=("train", "val"), donate=False,
+                 compute_dtype=None):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
@@ -128,6 +129,15 @@ class Trainer:
         self.learning_rate = learning_rate
         self.schedule = schedule
         self.weight_decay = weight_decay
+        # mixed precision: run the decoder forward/backward in this dtype
+        # (e.g. "bfloat16") while master params, the encoder head (its
+        # BatchNorm statistics must accumulate in f32), optimizer state,
+        # and the loss/metrics stay float32. None = full f32 (the parity
+        # configuration).
+        self.compute_dtype = (
+            None if compute_dtype in (None, "float32")
+            else jnp.dtype(compute_dtype)
+        )
 
         stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
         self.experiment_name = f"{experiment_title}@{stamp}"
@@ -195,6 +205,8 @@ class Trainer:
         trunk_cache = self._trunk_cache
         with_labels = getattr(model, "with_labels", False)
 
+        cdt = self.compute_dtype
+
         def compute_logits(params, batch, train, rng):
             captions = batch["captions"]
             inputs = captions[:, :-1]
@@ -204,6 +216,18 @@ class Trainer:
                 kwargs["from_trunk"] = True
             else:
                 images = batch["images"]
+            if cdt is not None and "decoder" in params:
+                # differentiable cast: grads of the f32 master decoder
+                # flow through the bf16 compute copy. The encoder keeps
+                # f32 (tiny compute; BN stats must not round).
+                params = dict(
+                    params,
+                    decoder=jax.tree.map(
+                        lambda x: x.astype(cdt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                        params["decoder"],
+                    ),
+                )
             if train:
                 return model.forward(
                     params, images, inputs, train=True, rng=rng,
@@ -216,10 +240,14 @@ class Trainer:
             max_len = captions.shape[1]
             lengths = jnp.sum(captions != pad, axis=1)
             logits, new_params = compute_logits(params, batch, train, rng)
-            logits = logits[:, :max_len]
+            logits = logits[:, :max_len].astype(jnp.float32)
             loss = masked_cross_entropy(logits, captions, pad)
             pp = perplexity(logits, captions, lengths, pad)
-            return loss, (pp, new_params)
+            # only the encoder sub-tree of new_params carries state that
+            # must survive (advanced BatchNorm statistics, always f32);
+            # the decoder copy may be a bf16 cast and is discarded
+            return loss, (pp, new_params.get("encoder")
+                          if isinstance(new_params, dict) else new_params)
 
         # with donate=True the incoming train state's buffers update in
         # place instead of double-buffering (~2x memory headroom for the
@@ -230,15 +258,19 @@ class Trainer:
         @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(state, batch, rng):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-            (loss, (pp, new_params)), grads = grad_fn(
+            (loss, (pp, new_enc)), grads = grad_fn(
                 state["params"], batch, rng, True
             )
             grad_norm = optax.global_norm(grads)
             updates, opt_state = tx.update(
                 grads, state["opt_state"], state["params"]
             )
-            # apply optimizer updates on top of the BN-stat-advanced params
-            params = optax.apply_updates(new_params, updates)
+            # apply optimizer updates on top of the BN-stat-advanced
+            # MASTER params (always f32; the forward's decoder copy may
+            # have been a bf16 cast and is discarded)
+            master = (dict(state["params"], encoder=new_enc)
+                      if new_enc is not None else state["params"])
+            params = optax.apply_updates(master, updates)
             metrics = {"loss": loss, "perplexity": pp,
                        "grad_norm": grad_norm}
             return (
