@@ -16,6 +16,34 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of ilya16/deephumor
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Point jax at an on-disk compilation cache (first compile of the
+    ResNet trunk / decode loop costs tens of seconds; every CLI and
+    pipeline run after the first then starts hot). Opt out with
+    ``DEEPHUMOR_JAX_CACHE=0``; override the location with
+    ``DEEPHUMOR_JAX_CACHE=/path``. Never raises — a read-only filesystem
+    just skips the cache."""
+    setting = _os.environ.get("DEEPHUMOR_JAX_CACHE", "")
+    if setting == "0":
+        return
+    path = setting or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "deephumor_tpu", "jax"
+    )
+    try:
+        import jax
+
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from deephumor_tpu.data import (
     SPECIAL_TOKENS,
     Vocab,

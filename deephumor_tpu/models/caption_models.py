@@ -488,7 +488,8 @@ class CaptioningTransformerBase:
         }
         return logits, state, None
 
-    def _make_step(self, params, consts=None, attn="xla", p_eff=None):
+    def _make_step(self, params, consts=None, attn="xla", p_eff=None,
+                   return_hidden=False):
         scale = math.sqrt(self.hid_dim)
 
         def step(state, tokens):
@@ -508,6 +509,7 @@ class CaptioningTransformerBase:
                     None if consts is None else consts["enc_key_mask"]
                 ),
                 anc=anc, attn_impl=attn, p_eff=p_eff,
+                return_hidden=return_hidden,
             )
             return logits, {
                 "cache": cache,
@@ -560,6 +562,15 @@ class CaptioningTransformerBase:
         # early steps never stream the cache tail (exact same results;
         # sampling.beam_search ``phases``). Step s needs
         # p_eff >= prefix_len + s + 1.
+        # classifier->sampler fusion: on the stochastic pallas path the
+        # steps return pre-classifier hidden states and the classifier
+        # matmul runs inside the sampler kernel (logits never touch HBM)
+        classifier = None
+        ret_hidden = False
+        if sampler == "pallas" and not greedy:
+            cls = params["decoder"]["classifier"]
+            classifier = (cls["kernel"], cls["bias"])
+            ret_hidden = True
         phases = None
         if attn.startswith("pallas"):
             p_cache = -(-max_positions // 8) * 8
@@ -569,16 +580,22 @@ class CaptioningTransformerBase:
                 last_step = pe - prefix_len - 1
                 if 1 <= last_step < steps - 1:
                     bounds.append((last_step, self._make_step(
-                        params, consts, attn, p_eff=pe)))
+                        params, consts, attn, p_eff=pe,
+                        return_hidden=ret_hidden)))
             bounds.append(
-                (steps - 1, self._make_step(params, consts, attn)))
+                (steps - 1, self._make_step(
+                    params, consts, attn, return_hidden=ret_hidden)))
             phases = bounds
         return beam_search(
-            key, self._make_step(params, consts, attn), state, logits,
+            key,
+            self._make_step(params, consts, attn,
+                            return_hidden=ret_hidden),
+            state, logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
             greedy=greedy, sampler=sampler,
             shuffle_fn=self._shuffle_state, phases=phases,
+            classifier=classifier,
             eos_index=eos_index, pad_index=self.pad_index,
         )
 

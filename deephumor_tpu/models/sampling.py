@@ -77,7 +77,7 @@ def _select_k(key, log_weights, k, greedy):
 
 
 def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
-                     sampler="exact"):
+                     sampler="exact", classifier=None):
     """One full-vocab top-k selection, then candidate draw + scoring in the
     reduced K-space (the hot-path equivalent of filter_top_k + draw: a
     token outside the top-K has weight exp(-inf) = 0 either way, so
@@ -98,18 +98,34 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
     (raw untempered logits — beam.py:79-80).
     """
     if sampler == "pallas" and not greedy:
-        from deephumor_tpu.ops.pallas_sampler import fused_topk_gumbel_sample
+        from deephumor_tpu.ops.pallas_sampler import (
+            fused_classifier_topk_gumbel_sample, fused_topk_gumbel_sample)
 
-        shape = logits.shape
-        flat = logits.reshape(-1, shape[-1])
         seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
-        tokens, vals = fused_topk_gumbel_sample(
-            flat, seed, inv_t, top_k=top_k, num_draws=k,
-            unk_index=unk_index,
-        )
+        if classifier is not None:
+            # ``logits`` is the pre-classifier hidden state; the matmul
+            # runs inside the sampler kernel (logits never touch HBM)
+            w, b = classifier
+            hidden = logits
+            shape = hidden.shape[:-1] + (w.shape[1],)
+            tokens, vals = fused_classifier_topk_gumbel_sample(
+                hidden.reshape(-1, hidden.shape[-1]), w, b, seed, inv_t,
+                top_k=top_k, num_draws=k, unk_index=unk_index,
+            )
+        else:
+            shape = logits.shape
+            flat = logits.reshape(-1, shape[-1])
+            tokens, vals = fused_topk_gumbel_sample(
+                flat, seed, inv_t, top_k=top_k, num_draws=k,
+                unk_index=unk_index,
+            )
         scores = vals - jax.nn.logsumexp(vals, axis=-1, keepdims=True)
         out_shape = shape[:-1] + (k,)
         return tokens.reshape(out_shape), scores.reshape(out_shape)
+
+    if classifier is not None:
+        w, b = classifier
+        logits = logits @ w + b
 
     if sampler == "approx" and not greedy:
         # TPU PartialReduce-based approximate top-k (recall 0.99) in the
@@ -150,6 +166,7 @@ def beam_search(
     sampler="exact",
     shuffle_fn=None,
     phases=None,
+    classifier=None,
     eos_index=EOS_ID,
     unk_index=UNK_ID,
     pad_index=PAD_ID,
@@ -179,6 +196,12 @@ def beam_search(
             are static, so the aliased in-place cache buffers thread
             through without the copies a per-step lax.switch would force.
             Results are IDENTICAL to the single-phase loop.
+        classifier: optional ``(w [D, V], b [V])``. When given, step_fn
+            returns the PRE-classifier hidden state ``[B*beam, D]`` and
+            the classifier matmul runs inside the per-step draw (fused
+            into the pallas sampler kernel when ``sampler='pallas'``;
+            applied in XLA otherwise). ``init_logits`` stays actual
+            logits either way.
 
     Returns:
         dict with ``sequences [B, beam, max_len]``, ``scores [B, beam]``,
@@ -235,7 +258,7 @@ def beam_search(
         # copy and slows approx_max_k >2x on TPU (measured).
         new_idx, new_val = _topk_space_draw(
             jax.random.fold_in(step_key, 0), logits, top_k, beam, inv_t,
-            greedy, unk_index, sampler=sampler,
+            greedy, unk_index, sampler=sampler, classifier=classifier,
         )  # [B*beam, beam] each
         new_idx = new_idx.reshape(num_items, beam, beam)
         new_val = new_val.reshape(num_items, beam, beam)

@@ -539,7 +539,7 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 n_heads, cross=None, enc_key_mask=None, anc=None,
-                attn_impl="xla", p_eff=None):
+                attn_impl="xla", p_eff=None, return_hidden=False):
     """One incremental decode position.
 
     Args:
@@ -683,5 +683,10 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         ff = pff_apply(layer["pf"], x)
         x = L.layer_norm(layer["pf_ln"], x + ff)
 
+    if return_hidden:
+        # the caller fuses the classifier into the sampler kernel
+        # (ops/pallas_sampler.fused_classifier_topk_gumbel_sample) so the
+        # [bs, V] logits never materialize in HBM
+        return x, new_cache
     logits = L.linear(params["classifier"], x)
     return logits, new_cache

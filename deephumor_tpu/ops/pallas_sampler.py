@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_topk_gumbel_sample"]
+__all__ = ["fused_topk_gumbel_sample", "fused_classifier_topk_gumbel_sample"]
 
 # plain Python literals: jnp scalars at module level would be captured as
 # constants by the kernel tracer (pallas requires literals or ref inputs)
@@ -50,8 +50,6 @@ def _order_key(x_f32):
 
 def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
             top_k, num_draws, unk_index, vocab):
-    rows = logits_ref.shape[0]
-
     # decorrelate programs; same seed -> same draw
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -59,8 +57,35 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
     # threshold search below can stop at bit 15 — the dominant cost of the
     # kernel is these count passes over [rows, V], and this halves them
     low_bits = 15 if logits_ref.dtype == jnp.bfloat16 else 0
-
     logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
+    _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref,
+                 top_k=top_k, num_draws=num_draws, unk_index=unk_index,
+                 vocab=vocab)
+
+
+def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
+                             ids_ref, vals_ref, *, top_k, num_draws,
+                             unk_index, vocab):
+    """Classifier matmul + sampler in ONE kernel: the [rows, V] logits
+    live only in VMEM, never round-tripping HBM between the decoder and
+    the draw (~150 MB/step at serving batch). The fresh logits are
+    rounded to bf16 so the draw is numerically identical to the separate
+    bf16-classifier + sampler path (and the threshold search keeps its
+    16-bit length)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:]
+    logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+    _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
+                 num_draws=num_draws, unk_index=unk_index, vocab=vocab)
+
+
+def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
+                 num_draws, unk_index, vocab):
+    rows = logits.shape[0]
     keys = _order_key(logits)
 
     # ---- exact K-th largest value per row: bitwise threshold search ----
@@ -173,6 +198,88 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
     with ctx:
         return _call(kernel, grid, block, vocab, out_cols, padded_rows,
                      rows, num_draws, logits, seed, inv_temperature)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "num_draws", "unk_index", "block_rows",
+                     "interpret"),
+)
+def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
+                                        top_k, num_draws, unk_index=1,
+                                        block_rows=64, interpret=False):
+    """``fused_topk_gumbel_sample`` of ``x @ w + b`` without materializing
+    the logits in HBM.
+
+    Args:
+        x: ``[rows, D]`` decoder hidden states (pre-classifier).
+        w: ``[D, V]`` classifier weight (stays VMEM-resident across row
+            blocks; the index map is constant so Pallas skips its re-DMA).
+        b: ``[V]`` classifier bias.
+        Everything else as :func:`fused_topk_gumbel_sample`. The matmul
+        accumulates in f32 and rounds to bf16 like an XLA bf16 matmul
+        (the separate path adds the bias post-rounding, so individual
+        logits may differ by one bf16 ulp — immaterial on this
+        stochastic serving path).
+
+    Returns:
+        (ids ``[rows, num_draws]`` int32, vals ``[rows, num_draws]`` f32).
+    """
+    import contextlib
+
+    rows, d = x.shape
+    vocab = w.shape[1]
+    block = min(block_rows, rows)
+    if rows % block != 0:
+        pad = block - rows % block
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        padded_rows = rows + pad
+    else:
+        padded_rows = rows
+    out_cols = 128
+
+    kernel = functools.partial(
+        _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
+        unk_index=unk_index, vocab=vocab,
+    )
+    ctx = (pltpu.force_tpu_interpret_mode() if interpret
+           else contextlib.nullcontext())
+    with ctx:
+        ids, vals = pl.pallas_call(
+            kernel,
+            grid=(padded_rows // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, vocab), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, vocab), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
+                jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 2 ** 20,
+            ),
+        )(
+            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(inv_temperature, jnp.float32).reshape(1),
+            x,
+            w.astype(jnp.bfloat16)
+            if w.dtype != jnp.bfloat16 else w,
+            b.reshape(1, vocab).astype(jnp.float32),
+        )
+    return ids[:rows, :num_draws], vals[:rows, :num_draws]
 
 
 def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,

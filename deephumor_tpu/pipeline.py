@@ -95,17 +95,25 @@ class MemeGenerationPipeline:
         images = np.asarray(images)
         for start in range(0, len(ids), batch_size):
             chunk = ids[start : start + batch_size]
+            # pad the tail chunk to the full batch (repeat the last row):
+            # a second batch shape would trigger a fresh ResNet compile
+            pad = batch_size - len(chunk)
+            sl = slice(start, start + len(chunk))
+
+            def pick(arr):
+                x = np.asarray(arr[sl])
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                return jnp.asarray(x)
+
             if label_ids is not None:
                 enc = self.model.encode(
-                    self.params,
-                    jnp.asarray(images[start : start + len(chunk)]),
-                    jnp.asarray(label_ids[start : start + len(chunk)]),
+                    self.params, pick(images), pick(label_ids)
                 )
             else:
-                enc = self.model.encode(
-                    self.params,
-                    jnp.asarray(images[start : start + len(chunk)]),
-                )
+                enc = self.model.encode(self.params, pick(images))
+            if pad:
+                enc = jax.tree.map(lambda x: x[: len(chunk)], enc)
             for j, tid in enumerate(chunk):
                 self._cache[tid] = jax.tree.map(
                     lambda x: x[j : j + 1], enc
@@ -134,16 +142,27 @@ class MemeGenerationPipeline:
         return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), self._stacked)
 
     # -- generation ----------------------------------------------------------
-    def generate_captions(self, template_ids, key=None, **generate_kwargs):
+    def generate_captions(self, template_ids, key=None, pad_to=None,
+                          **generate_kwargs):
         """Generates one caption text per entry of ``template_ids``
-        (repeat ids to get multiple captions per template)."""
+        (repeat ids to get multiple captions per template).
+
+        ``pad_to``: pad the request up to this batch size by repeating
+        the last row (results are sliced back). Callers chunking a large
+        sweep should pass their chunk size so the TAIL chunk reuses the
+        compiled executable instead of triggering a fresh compile.
+        """
         if key is None:
             key = jax.random.PRNGKey(0)
-        enc = self._stack_features(template_ids)
+        n = len(template_ids)
+        ids = list(template_ids)
+        if pad_to is not None and n < pad_to:
+            ids = ids + [ids[-1]] * (pad_to - n)
+        enc = self._stack_features(ids)
         result = self.model.generate_from_emb(
             self.params, enc, key=key, **generate_kwargs
         )
-        seqs = np.asarray(result["chosen"])
+        seqs = np.asarray(result["chosen"])[:n]
         return [
             seq_to_text(seq, self.vocab, delimiter=self.delimiter)
             for seq in seqs

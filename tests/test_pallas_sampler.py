@@ -81,3 +81,38 @@ def test_row_padding():
         x, 0, 1.0, top_k=8, num_draws=2, block_rows=4, interpret=True
     )
     assert ids.shape == (5, 2) and vals.shape == (5, 2)
+
+
+def test_fused_classifier_matches_separate_path():
+    # x @ w + b computed in-kernel must draw from the same top-k support
+    # (and report the same bf16-rounded logit values) as classifying
+    # first and sampling the materialized logits
+    from deephumor_tpu.ops.pallas_sampler import (
+        fused_classifier_topk_gumbel_sample,
+    )
+
+    rng = np.random.default_rng(3)
+    d = 32
+    x = jnp.asarray(rng.normal(size=(R, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(d, V)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+
+    ids, vals = fused_classifier_topk_gumbel_sample(
+        x, w, b, 5, 1.0, top_k=K, num_draws=D, interpret=True,
+    )
+    ids, vals = np.asarray(ids), np.asarray(vals)
+
+    logits = np.asarray(
+        (x.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16)
+         + b.astype(jnp.float32)).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    kth = np.sort(logits, axis=1)[:, -K]
+    for r in range(R):
+        assert len(set(ids[r].tolist())) == D
+        assert 1 not in ids[r]
+        for j in range(D):
+            # drawn ids live in the top-k set of the reference logits
+            # (one bf16 ulp of slack at the threshold for the different
+            # bias-add rounding)
+            assert logits[r, ids[r, j]] >= kth[r] - 0.15
+            assert abs(vals[r, j] - logits[r, ids[r, j]]) < 0.15
