@@ -96,6 +96,7 @@ def main():
     total = len(work)
     outputs = []
     t0 = time.perf_counter()
+    t_first = None
     for start in range(0, total, args.batch):
         chunk = work[start : start + args.batch]
         if len(chunk) < args.batch:  # keep one compiled shape
@@ -112,12 +113,22 @@ def main():
                     chunk, pipe.generate_captions(chunk, key=key, **gen)
                 )
             ]
+        if t_first is None:
+            t_first = time.perf_counter() - t0
     dt = time.perf_counter() - t0
     print(
         f"{total} captions over {len(ids)} templates in {dt:.2f}s "
         f"-> {total / dt:.0f} captions/s"
         + (" (incl. rendering)" if pils else "")
     )
+    steady = total - min(args.batch, total)
+    if steady > 0 and dt > t_first:
+        # the first call carries the one-off jit compile of the decode
+        # loop; the steady-state rate is what a serving deployment sees
+        print(
+            f"  first call (incl. compile) {t_first:.2f}s; steady state "
+            f"{steady / (dt - t_first):.0f} captions/s"
+        )
     for tid, text, _ in outputs[:3]:
         print(f"  {tid}: {text[:70]!r}")
 
