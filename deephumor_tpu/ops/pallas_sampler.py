@@ -274,9 +274,10 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
         )(
             jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(inv_temperature, jnp.float32).reshape(1),
-            x,
-            w.astype(jnp.bfloat16)
-            if w.dtype != jnp.bfloat16 else w,
+            # one dtype for the in-kernel dot (mixed f32 x bf16 operands
+            # do not lower); the product is rounded to bf16 regardless
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
             b.reshape(1, vocab).astype(jnp.float32),
         )
     return ids[:rows, :num_draws], vals[:rows, :num_draws]
