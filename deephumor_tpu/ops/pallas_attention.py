@@ -381,29 +381,43 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
     kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
     vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
 
-    # merge (slot, position) INSIDE the kernel: contrary to the round-2
-    # note below (earlier jax/Mosaic rejected leading-dim shape casts),
-    # this reshape now lowers — so each head runs ONE rank-3 QK dot and
-    # ONE AV dot over the flat beam*Pe axis instead of a beam-slot loop
-    # of tiny dots (0.302 -> 0.270 ms/layer, benchmarks/attn_v3.py), and
-    # softmax reduces a single trailing axis
+    # merge (slot, position) INSIDE the kernel (the round-2 notes record
+    # this reshape as impossible — Mosaic now lowers it) and fold ALL
+    # heads into a single QK and a single AV dot per block with
+    # block-diagonal masked queries: row (h, j) of q_all carries branch
+    # j's query masked to head h's 64 lanes, so contracting the FULL
+    # d_model yields exactly head h's energies (other heads' lanes
+    # contribute 0). 8x the MACs of the useful computation, but 2 MXU
+    # issues per block instead of 16 skinny ones: 0.302 (slot-loop) ->
+    # 0.270 (per-head flat) -> 0.232 ms/layer (benchmarks/attn_v4.py).
     kb2 = kb.reshape(bi, beam * pe, d_model)
     vb2 = vb.reshape(bi, beam * pe, d_model)
     bias = bias_ref[:]                               # [bi, beam, beam*Pe]
 
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+
+    e = jax.lax.dot_general(
+        q_all, kb2,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale                                    # [bi, H*beam, beam*Pe]
+    e = e + jnp.concatenate([bias] * n_heads, axis=1)
+    attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
+
+    out_all = jax.lax.dot_general(
+        attn, vb2,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                # [bi, H*beam, D]
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        e = jax.lax.dot_general(
-            q_ref[:, :, sl], kb2[:, :, sl],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * inv_scale + bias                         # [bi, beam, beam*Pe]
-        attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
-        out_ref[:, :, sl] = jax.lax.dot_general(
-            attn, vb2[:, :, sl],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        out_ref[:, :, sl] = out_all[
+            :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
 
     # writeback: wait the staged tiles, insert the fresh column, DMA the
     # tiles back in place (caches aliased input->output)
