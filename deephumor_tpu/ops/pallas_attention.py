@@ -560,27 +560,36 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
 def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *, n_heads,
                   scale):
     # grouped single-step cross-attention: beam rows share their item's
-    # encoder K/V (transformer._grouped_attention). The XLA einsum puts
-    # heads in a dot batch dim -> thousands of 5-row MXU stubs per step;
-    # here it is one rank-3 dot per (head, side) over VMEM blocks.
+    # encoder K/V (transformer._grouped_attention). Same all-heads
+    # block-diagonal-masked-query trick as the self-attention kernel:
+    # ONE QK dot and ONE AV dot per block over the full d_model
+    # contraction instead of 2 skinny dots per head.
     inv_scale = 1.0 / scale
-    _, _, d_model = q_ref.shape
+    _, r, d_model = q_ref.shape
+    bi = q_ref.shape[0]
     head_dim = d_model // n_heads
 
-    bias = bias_ref[:]                            # [bi, 1, T] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, n_heads * r, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * r, d_model), 1) // r
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+
+    e = jax.lax.dot_general(
+        q_all, k_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale + bias_ref[:]                   # [bi, H*r, T] (+ [bi,1,T])
+    attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
+    out_all = jax.lax.dot_general(
+        attn, v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                             # [bi, H*r, D]
     for h in range(n_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        e = jax.lax.dot_general(
-            q_ref[:, :, sl], k_ref[:, :, sl],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * inv_scale + bias                      # [bi, r, T]
-        attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
-        out_ref[:, :, sl] = jax.lax.dot_general(
-            attn, v_ref[:, :, sl],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+        out_ref[:, :, sl] = out_all[:, h * r:(h + 1) * r, sl].astype(
+            out_ref.dtype)
 
 
 @functools.partial(
