@@ -152,7 +152,7 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
                      "interpret"),
 )
 def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
-                             num_draws, unk_index=1, block_rows=64,
+                             num_draws, unk_index=1, block_rows=128,
                              interpret=False):
     """Draws ``num_draws`` tokens/row ~ softmax(top_k_filter(logits)/T).
 
@@ -207,7 +207,7 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
 )
 def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
                                         top_k, num_draws, unk_index=1,
-                                        block_rows=64, interpret=False):
+                                        block_rows=128, interpret=False):
     """``fused_topk_gumbel_sample`` of ``x @ w + b`` without materializing
     the logits in HBM.
 
