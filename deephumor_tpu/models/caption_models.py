@@ -207,7 +207,7 @@ class CaptioningLSTM:
         state = {"h": jnp.swapaxes(h, 0, 1), "c": jnp.swapaxes(c, 0, 1)}
         return logits, state
 
-    def _make_step(self, params, consts=None):
+    def _make_step(self, params, consts=None, return_hidden=False):
         def step(state, tokens):
             x = L.embed(self._decoder_embedding(params), tokens)
             h = jnp.swapaxes(state["h"], 0, 1)
@@ -215,8 +215,10 @@ class CaptioningLSTM:
             out, (h, c) = lstm_mod.lstm_step(
                 params["decoder"]["lstm"], x, h, c
             )
-            logits = L.linear(params["decoder"]["classifier"], out)
-            return logits, {
+            if not return_hidden:
+                # else the classifier fuses into the sampler kernel
+                out = L.linear(params["decoder"]["classifier"], out)
+            return out, {
                 "h": jnp.swapaxes(h, 0, 1),
                 "c": jnp.swapaxes(c, 0, 1),
             }
@@ -233,11 +235,21 @@ class CaptioningLSTM:
             emb = _cast_floats(emb, dt)
         logits, state = self._prefill(params, emb, caption)
         state = _tile_tree(state, beam_size)
+        # classifier->sampler fusion (see the transformer variant): the
+        # per-step [rows, V] logits never leave VMEM on the pallas path
+        classifier = None
+        ret_hidden = False
+        if sampler == "pallas" and not greedy:
+            cls = params["decoder"]["classifier"]
+            classifier = (cls["kernel"], cls["bias"])
+            ret_hidden = True
         return beam_search(
-            key, self._make_step(params), state, logits,
+            key, self._make_step(params, return_hidden=ret_hidden), state,
+            logits,
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
-            greedy=greedy, sampler=sampler, eos_index=eos_index,
+            greedy=greedy, sampler=sampler, classifier=classifier,
+            eos_index=eos_index,
         )
 
     def generate_from_emb(self, params, emb, key=None, caption=None,
