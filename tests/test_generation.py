@@ -264,3 +264,28 @@ class TestReproducibility:
         )
         scores = np.asarray(out["scores"])
         assert (scores <= 1e-5).all() and np.isfinite(scores).all()
+
+
+def test_pallas_phases_with_prefix():
+    # the phased p_eff while_loops must line up with a caption prefix:
+    # same tokens as the XLA path under greedy decoding
+    import numpy as np
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=64, hid_dim=32, n_layers=2, n_heads=2, pf_dim=64,
+        max_len=40,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    prefix = jnp.asarray(rng.integers(6, 64, size=(2, 4)), jnp.int32)
+    outs = {}
+    for attn in ("xla", "pallas_interpret"):
+        out = model.generate(
+            params, imgs, key=jax.random.PRNGKey(3), caption=prefix,
+            max_len=24, beam_size=3, top_k=8, greedy=True, attn=attn)
+        outs[attn] = np.asarray(out["chosen"])
+    np.testing.assert_array_equal(outs["xla"], outs["pallas_interpret"])
+    # prefix preserved in the output
+    assert (outs["xla"][:, :4] == np.asarray(prefix)).all()
