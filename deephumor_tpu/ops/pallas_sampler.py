@@ -119,25 +119,26 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
 
     perturbed = jnp.where(keep, logits * invt_ref[0] + gumbel, _NEG_LARGE)
 
-    # pack (perturbed order key, column) into ONE int32: the top 19 bits
-    # carry the key, the low 13 the column (flipped so ties at equal
-    # truncated keys resolve to the smallest column). argmax of `packed`
-    # then yields BOTH the winner and its index in a single max pass, and
-    # the winning element is unique by construction (columns differ), so
-    # the without-replacement update needs no separate index scan.
-    # Truncating the key's low 13 bits can swap candidates whose perturbed
-    # scores agree to ~2^-10 relative — a second-order distributional
-    # effect (the swapped candidates were near-equiprobable), acceptable
-    # on this stochastic serving path (greedy/parity paths use exact XLA
-    # top-k upstream).
-    assert vocab <= 1 << 13, vocab
-    pcol = jnp.int32((1 << 13) - 1) - col
-    packed = (_order_key(perturbed) & jnp.int32(~((1 << 13) - 1))) | pcol
+    # pack (perturbed order key, column) into ONE int32: the top bits
+    # carry the key, the low ``col_bits`` the column (flipped so ties at
+    # equal truncated keys resolve to the smallest column). argmax of
+    # `packed` then yields BOTH the winner and its index in a single max
+    # pass, and the winning element is unique by construction (columns
+    # differ), so the without-replacement update needs no separate index
+    # scan. Truncating the key's low bits can swap candidates whose
+    # perturbed scores agree to ~2^-(18-col_bits) relative — a
+    # second-order distributional effect (the swapped candidates were
+    # near-equiprobable), acceptable on this stochastic serving path
+    # (greedy/parity paths use exact XLA top-k upstream).
+    col_bits = max(13, int(vocab - 1).bit_length())
+    cmask = (1 << col_bits) - 1
+    pcol = jnp.int32(cmask) - col
+    packed = (_order_key(perturbed) & jnp.int32(~cmask)) | pcol
 
     # num_draws is small and static: unrolled packed-argmax extraction
     for j in range(num_draws):
         m = jnp.max(packed, axis=1, keepdims=True)
-        idx = jnp.int32((1 << 13) - 1) - (m & jnp.int32((1 << 13) - 1))
+        idx = jnp.int32(cmask) - (m & jnp.int32(cmask))
         hit = col == idx
         val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
                       keepdims=True)
@@ -168,7 +169,11 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
          vals ``[rows, num_draws]`` f32 — raw logits at the drawn ids).
     """
     rows, vocab = logits.shape
-    block = min(block_rows, rows)
+    # a block holds ~3 live f32 [block, V] arrays (keys/perturbed/packed
+    # stages); shrink the row block for very large vocabularies so they
+    # fit the raised VMEM budget below
+    max_block = max(8, int(80e6 / (12 * vocab)) // 8 * 8)
+    block = min(block_rows, max_block, rows)
     if rows % block != 0:
         # pad rows to a whole number of blocks; extra rows are discarded
         pad = block - rows % block
@@ -229,7 +234,8 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
 
     rows, d = x.shape
     vocab = w.shape[1]
-    block = min(block_rows, rows)
+    max_block = max(8, int(60e6 / (12 * vocab)) // 8 * 8)
+    block = min(block_rows, max_block, rows)
     if rows % block != 0:
         pad = block - rows % block
         x = jnp.pad(x, ((0, pad), (0, 0)))
@@ -269,7 +275,7 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 2 ** 20,
+                vmem_limit_bytes=100 * 2 ** 20,
             ),
         )(
             jnp.asarray(seed, jnp.int32).reshape(1),
@@ -304,6 +310,9 @@ def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
             jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
             jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         jnp.asarray(inv_temperature, jnp.float32).reshape(1),
