@@ -676,7 +676,7 @@ class CaptioningTransformer(CaptioningTransformerBase):
     cross_attention = True
 
     def forward(self, params, images, captions, lengths=None, train=False,
-                rng=None, from_trunk=False):
+                rng=None, from_trunk=False, rectangular=False):
         """Teacher-forced logits (parity: caption_models.py:393-406)."""
         if train:
             r_enc, r_dec = jax.random.split(rng)
@@ -688,7 +688,7 @@ class CaptioningTransformer(CaptioningTransformerBase):
             logits = tfm.transformer_decoder_forward(
                 params["decoder"], captions, spatial, emb, self.n_heads,
                 pad_index=self.pad_index, dropout=self.dec_dropout,
-                train=True, rng=r_dec,
+                train=True, rng=r_dec, rectangular=rectangular,
             )
             return logits, dict(params, encoder=new_enc)
         emb, spatial = image_encoder_apply(
@@ -697,7 +697,7 @@ class CaptioningTransformer(CaptioningTransformerBase):
         )
         return tfm.transformer_decoder_forward(
             params["decoder"], captions, spatial, emb, self.n_heads,
-            pad_index=self.pad_index,
+            pad_index=self.pad_index, rectangular=rectangular,
         )
 
     def encode(self, params, images):

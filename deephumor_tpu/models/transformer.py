@@ -286,7 +286,7 @@ def self_attn_decoder_init(key, num_tokens, hid_dim=512, n_layers=6,
 
 def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
                                 pad_index=0, dropout=0.0, train=False,
-                                rng=None):
+                                rng=None, rectangular=False):
     """Full teacher-forced forward with cross-attention.
 
     Reproduces the reference exactly (transformers.py:432-490), including
@@ -297,14 +297,26 @@ def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
         tokens: ``[bs, T]`` token ids.
         enc_out: ``[bs, T_enc, D]`` spatial image embeddings.
         start_emb: ``[bs, D]`` global image embedding (position 0).
+        rectangular: skip the reference's pad-to-common-length quirk and
+            run T+1 decoder positions against T_enc encoder keys
+            directly. The pad positions only ever produce masked-out
+            garbage the callers slice away, so logits at REAL positions
+            are identical (divergence #13, docs/DIVERGENCES.md). NOTE:
+            despite ~40% fewer decoder FLOPs this measured ~10% SLOWER
+            end-to-end on v5e (the padded square shapes fuse better
+            under XLA), so the Trainer keeps the padded default; the
+            option remains for other shapes/backends. Dropout masks are
+            shape-dependent: train-mode losses match the padded path in
+            distribution, not sample-for-sample.
 
     Returns:
-        logits ``[bs, max(T+1, T_enc), num_tokens]``.
+        logits ``[bs, max(T+1, T_enc), num_tokens]``
+        (``[bs, T+1, num_tokens]`` when ``rectangular``).
     """
     bs, t = tokens.shape
     enc_len, hid_dim = enc_out.shape[1], enc_out.shape[2]
     dec_seq_len = t + 1  # start_emb occupies position 0
-    seq_len = max(dec_seq_len, enc_len)
+    seq_len = dec_seq_len if rectangular else max(dec_seq_len, enc_len)
 
     pos_rows = params["pos_embedding"]["table"].shape[0]
     if seq_len > pos_rows:
@@ -318,10 +330,11 @@ def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
             f"{seq_len}"
         )
 
-    # pad both streams to the common length (transformers.py:449-452)
-    tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - dec_seq_len)),
-                     constant_values=pad_index)
-    enc_out = jnp.pad(enc_out, ((0, 0), (0, seq_len - enc_len), (0, 0)))
+    if not rectangular:
+        # pad both streams to the common length (transformers.py:449-452)
+        tokens = jnp.pad(tokens, ((0, 0), (0, seq_len - dec_seq_len)),
+                         constant_values=pad_index)
+        enc_out = jnp.pad(enc_out, ((0, 0), (0, seq_len - enc_len), (0, 0)))
 
     scale = math.sqrt(hid_dim)
     tok_emb = L.embed(params["tok_embedding"], tokens)

@@ -238,3 +238,27 @@ class TestTransformerDecoderParity:
         np.testing.assert_allclose(
             np.asarray(out), ref.numpy(), rtol=1e-4, atol=1e-4
         )
+
+
+def test_rectangular_forward_matches_padded():
+    # divergence #13: the Trainer's rectangular forward must equal the
+    # reference-shaped padded forward at every real position (eval mode)
+    import jax
+    import jax.numpy as jnp
+
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=128, hid_dim=32, n_layers=2, n_heads=2, pf_dim=64,
+        max_len=60,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32))
+    for t in (5, 20):  # dec shorter and longer than nothing special; enc=4
+        caps = jnp.asarray(rng.integers(6, 128, size=(2, t)), jnp.int32)
+        padded = np.asarray(model.forward(params, imgs, caps))
+        rect = np.asarray(
+            model.forward(params, imgs, caps, rectangular=True))
+        assert rect.shape == (2, t + 1, 128)
+        np.testing.assert_allclose(rect, padded[:, : t + 1], atol=1e-5)
