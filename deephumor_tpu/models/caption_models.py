@@ -588,6 +588,8 @@ class CaptioningTransformerBase:
             p_cache = -(-max_positions // 8) * 8
             steps = max_len - prefix_len
             bounds = []
+            # phase ladder starts at 16: a pe=8 phase measured sub-noise
+            # (covers ~7 early steps) and costs 6 extra kernel compiles
             for pe in range(16, p_cache, 8):
                 last_step = pe - prefix_len - 1
                 if 1 <= last_step < steps - 1:
