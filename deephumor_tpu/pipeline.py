@@ -168,22 +168,50 @@ class MemeGenerationPipeline:
             for seq in seqs
         ]
 
+    def _render_one(self, tid, text):
+        top, bottom = split_caption(text, num_blocks=2)
+        img = self._images.get(tid)
+        if img is None:
+            return tid, text, None
+        return tid, text, memeify_image(
+            img, top=top, bottom=bottom, font_path=self.font_path
+        )
+
     def generate_memes(self, template_ids, key=None, **generate_kwargs):
         """Full path: captions + parallel host-side rendering.
 
         Returns list of (template_id, caption_text, PIL image | None).
         """
         texts = self.generate_captions(template_ids, key, **generate_kwargs)
-
-        def render(args):
-            tid, text = args
-            top, bottom = split_caption(text, num_blocks=2)
-            img = self._images.get(tid)
-            if img is None:
-                return tid, text, None
-            return tid, text, memeify_image(
-                img, top=top, bottom=bottom, font_path=self.font_path
+        with ThreadPoolExecutor(self.render_workers) as pool:
+            return list(
+                pool.map(lambda a: self._render_one(*a),
+                         zip(template_ids, texts))
             )
 
+    def generate_memes_batched(self, template_ids, batch_size=256,
+                               key=None, **generate_kwargs):
+        """Large sweeps: device generation of batch N+1 OVERLAPS host-side
+        rendering of batch N (renders run on the thread pool while the
+        next `generate_captions` call keeps the TPU busy; every batch is
+        padded to one compiled shape).
+
+        Returns list of (template_id, caption_text, PIL image | None) in
+        input order.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ids = list(template_ids)
+        futures = []
         with ThreadPoolExecutor(self.render_workers) as pool:
-            return list(pool.map(render, zip(template_ids, texts)))
+            for start in range(0, len(ids), batch_size):
+                chunk = ids[start:start + batch_size]
+                texts = self.generate_captions(
+                    chunk, key=jax.random.fold_in(key, start),
+                    pad_to=batch_size, **generate_kwargs,
+                )
+                futures.extend(
+                    pool.submit(self._render_one, tid, text)
+                    for tid, text in zip(chunk, texts)
+                )
+            return [f.result() for f in futures]

@@ -97,24 +97,28 @@ def main():
     outputs = []
     t0 = time.perf_counter()
     t_first = None
-    for start in range(0, total, args.batch):
-        chunk = work[start : start + args.batch]
-        if len(chunk) < args.batch:  # keep one compiled shape
-            chunk = chunk + [chunk[-1]] * (args.batch - len(chunk))
-        key = jax.random.fold_in(jax.random.PRNGKey(1), start)
-        gen = dict(max_len=args.max_len, beam_size=args.beam_size,
-                   top_k=args.top_k, sampler="pallas")
-        if pils:
-            outputs += pipe.generate_memes(chunk, key=key, **gen)
-        else:
+    gen = dict(max_len=args.max_len, beam_size=args.beam_size,
+               top_k=args.top_k, sampler="pallas")
+    if pils:
+        # rendering of each batch overlaps the next batch's generation
+        outputs = pipe.generate_memes_batched(
+            work, batch_size=args.batch, key=jax.random.PRNGKey(1), **gen
+        )
+        t_first = time.perf_counter() - t0
+    else:
+        for start in range(0, total, args.batch):
+            chunk = work[start : start + args.batch]
+            key = jax.random.fold_in(jax.random.PRNGKey(1), start)
             outputs += [
                 (tid, text, None)
                 for tid, text in zip(
-                    chunk, pipe.generate_captions(chunk, key=key, **gen)
+                    chunk,
+                    pipe.generate_captions(chunk, key=key,
+                                           pad_to=args.batch, **gen),
                 )
             ]
-        if t_first is None:
-            t_first = time.perf_counter() - t0
+            if t_first is None:
+                t_first = time.perf_counter() - t0
     dt = time.perf_counter() - t0
     print(
         f"{total} captions over {len(ids)} templates in {dt:.2f}s "
@@ -122,7 +126,7 @@ def main():
         + (" (incl. rendering)" if pils else "")
     )
     steady = total - min(args.batch, total)
-    if steady > 0 and dt > t_first:
+    if steady > 0 and dt - t_first > 0.5:
         # the first call carries the one-off jit compile of the decode
         # loop; the steady-state rate is what a serving deployment sees
         print(
