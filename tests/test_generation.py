@@ -289,3 +289,71 @@ def test_pallas_phases_with_prefix():
     np.testing.assert_array_equal(outs["xla"], outs["pallas_interpret"])
     # prefix preserved in the output
     assert (outs["xla"][:, :4] == np.asarray(prefix)).all()
+
+
+class TestEngineEdgeCases:
+    def _const_step(self, vocab):
+        def step_fn(state, tokens):
+            logits = jnp.tile(
+                jnp.linspace(0.0, 1.0, vocab)[None], (tokens.shape[0], 1)
+            )
+            return logits, state
+        return step_fn
+
+    def test_beam_size_one_stochastic(self):
+        # degenerate beam: the [1, 1] candidate matrix and survivor draw
+        vocab, n = 16, 3
+        init = jnp.tile(jnp.linspace(0.0, 1.0, vocab)[None], (n, 1))
+        res = beam_search(
+            jax.random.PRNGKey(3), self._const_step(vocab), {}, init,
+            beam_size=1, top_k=5, temperature=1.0, max_len=4,
+        )
+        assert res["chosen"].shape == (n, 4)
+        assert res["sequences"].shape == (n, 1, 4)
+
+    def test_top_k_equals_vocab(self):
+        # keep-all filter: everything except UNK is eligible
+        vocab, n = 8, 2
+        init = jnp.tile(jnp.arange(vocab, dtype=jnp.float32)[None], (n, 1))
+        res = beam_search(
+            jax.random.PRNGKey(1), self._const_step(vocab), {}, init,
+            beam_size=2, top_k=vocab, temperature=1.0, max_len=3,
+        )
+        assert int(res["chosen"].min()) >= 0
+        assert (np.asarray(res["chosen"]) != UNK_ID).all()
+
+    def test_eos_wins_first_draw(self):
+        # EOS is the argmax of the prefill logits: branch 0 ends at step
+        # 0 (the other beam slots hold the next-best DISTINCT tokens and
+        # keep decoding) and the final pick is the ended EOS branch
+        vocab, n, beam = 8, 2, 3
+        init = jax.nn.one_hot(
+            jnp.full((n,), EOS_ID), vocab, dtype=jnp.float32) * 100.0
+        res = beam_search(
+            jax.random.PRNGKey(0), self._const_step(vocab), {}, init,
+            beam_size=beam, top_k=4, temperature=1.0, max_len=5,
+            greedy=True,
+        )
+        seq = np.asarray(res["chosen"])
+        assert (seq[:, 0] == EOS_ID).all()
+        assert (seq[:, 1:] == PAD_ID).all()
+        ended = np.asarray(res["ended"])
+        assert ended[:, 0].all() and not ended[:, 1:].any()
+
+    def test_phases_equal_single_loop(self):
+        # engine-level: a phased run must produce exactly the single-loop
+        # result when every phase uses the same step_fn
+        vocab, n, beam = 12, 2, 2
+        init = jnp.tile(jnp.linspace(0.0, 2.0, vocab)[None], (n, 1))
+        step = self._const_step(vocab)
+        a = beam_search(
+            jax.random.PRNGKey(9), step, {}, init, beam_size=beam,
+            top_k=6, temperature=1.0, max_len=8,
+        )
+        b = beam_search(
+            jax.random.PRNGKey(9), step, {}, init, beam_size=beam,
+            top_k=6, temperature=1.0, max_len=8,
+            phases=[(2, step), (5, step), (99, step)],
+        )
+        for k in ("chosen", "sequences", "scores", "ended"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
