@@ -150,8 +150,8 @@ def run_variant(q, cache_k, cache_v, k_new, v_new, bias, pos, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bi, BEAM, d_model), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),

@@ -530,8 +530,8 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((block_items, beam, d_model),
                              lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             ),
@@ -844,8 +844,8 @@ def ancestry_attention_update_flash(q, cache_k, cache_v, k_new, v_new,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((bi, beam, d_model), lambda i, j, s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),

@@ -98,16 +98,16 @@ def cache_column_write(cache_k, cache_v, k_new, v_new, pos,
             grid=(rows // block_rows,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((block_rows, 1, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((block_rows, 1, d), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
