@@ -29,6 +29,12 @@ def _enable_persistent_compile_cache():
     setting = _os.environ.get("DEEPHUMOR_JAX_CACHE", "")
     if setting == "0":
         return
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU AOT cache entries embed host machine features; reloading
+        # them on a different host warns about (and risks) SIGILL. The
+        # cache is for the expensive TPU compiles — skip it for forced-
+        # CPU runs (tests, virtual-mesh dryruns).
+        return
     path = setting or _os.path.join(
         _os.path.expanduser("~"), ".cache", "deephumor_tpu", "jax"
     )
