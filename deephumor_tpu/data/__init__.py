@@ -21,6 +21,8 @@ from deephumor_tpu.data.tokenizers import (
     WordPunctTokenizer,
     CharTokenizer,
 )
+from deephumor_tpu.data.datasets import MemeDataset
+from deephumor_tpu.data.dataloaders import pad_collate
 
 __all__ = [
     "SPECIAL_TOKENS",
@@ -36,4 +38,6 @@ __all__ = [
     "Tokenizer",
     "WordPunctTokenizer",
     "CharTokenizer",
+    "MemeDataset",
+    "pad_collate",
 ]

@@ -21,8 +21,25 @@ from deephumor_tpu.models.encoders import (
     label_encoder_init,
 )
 from deephumor_tpu.models.sampling import beam_search, filter_top_k
+from deephumor_tpu.models.compat import (
+    ImageEncoder,
+    LabelEncoder,
+    ImageLabelEncoder,
+    LSTMDecoder,
+    TransformerEncoder,
+    TransformerDecoder,
+    SelfAttentionTransformerDecoder,
+)
 
 __all__ = [
+    # reference-name layer handles (models/compat.py)
+    "ImageEncoder",
+    "LabelEncoder",
+    "ImageLabelEncoder",
+    "LSTMDecoder",
+    "TransformerEncoder",
+    "TransformerDecoder",
+    "SelfAttentionTransformerDecoder",
     "MODEL_REGISTRY",
     "CaptioningLSTM",
     "CaptioningLSTMWithLabels",

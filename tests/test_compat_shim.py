@@ -31,3 +31,35 @@ def test_top_level_reexports():
     v = deephumor.build_vocab(["a b a"], deephumor.WordPunctTokenizer(),
                               min_df=1)
     assert "a" in v.stoi
+
+
+def test_reference_layer_class_names():
+    # the reference also exports the layer classes
+    # (models/__init__.py:17-25) and dataset/collate at the data level
+    # (data/__init__.py:6-10); the functional handles must respond
+    import jax
+    import numpy as np
+
+    from deephumor.data import MemeDataset, pad_collate  # noqa: F401
+    from deephumor.models import (
+        ImageEncoder,
+        ImageLabelEncoder,
+        LSTMDecoder,
+        SelfAttentionTransformerDecoder,
+        TransformerDecoder,
+        TransformerEncoder,
+    )
+
+    p = ImageEncoder.init(jax.random.PRNGKey(0), emb_dim=16)
+    emb = ImageEncoder.apply(
+        p, np.zeros((1, 32, 32, 3), np.float32))
+    assert emb.shape == (1, 16)
+
+    d = LSTMDecoder.init(jax.random.PRNGKey(1), num_tokens=16, emb_dim=8,
+                         hidden_size=8, num_layers=1)
+    assert "lstm" in d and "classifier" in d
+
+    t = TransformerDecoder.init(jax.random.PRNGKey(2), num_tokens=16,
+                                hid_dim=8, n_layers=1, pf_dim=16,
+                                max_len=60)
+    assert "layers" in t
