@@ -29,18 +29,24 @@ def _enable_persistent_compile_cache():
     setting = _os.environ.get("DEEPHUMOR_JAX_CACHE", "")
     if setting == "0":
         return
-    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        # CPU AOT cache entries embed host machine features; reloading
-        # them on a different host warns about (and risks) SIGILL. The
-        # cache is for the expensive TPU compiles — skip it for forced-
-        # CPU runs (tests, virtual-mesh dryruns).
-        return
     path = setting or _os.path.join(
         _os.path.expanduser("~"), ".cache", "deephumor_tpu", "jax"
     )
     try:
         import jax
 
+        # CPU AOT cache entries embed host machine features; reloading
+        # them on a different host warns about (and risks) SIGILL —
+        # notably with NFS/shared home caches. The cache is for the
+        # expensive TPU compiles, so decide on the ACTUAL backend (a host
+        # with no accelerator silently defaults to cpu even with
+        # JAX_PLATFORMS unset), not just the env var. The env fast-path
+        # avoids initializing the backend when it already answers.
+        platforms = _os.environ.get("JAX_PLATFORMS", "")
+        if platforms.startswith("cpu"):
+            return
+        if not platforms and jax.default_backend() == "cpu":
+            return
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -134,11 +134,23 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
     cmask = (1 << col_bits) - 1
     pcol = jnp.int32(cmask) - col
     packed = (_order_key(perturbed) & jnp.int32(~cmask)) | pcol
+    # non-kept columns must be UNREACHABLE, not merely improbable: with
+    # only _NEG_LARGE scoring they'd win once the kept support is
+    # exhausted (fewer kept candidates than draws — possible when
+    # beam_size == top_k and UNK sits inside the top-K set), emitting the
+    # smallest filtered-out column, which can be UNK itself
+    packed = jnp.where(keep, packed, _INT_MIN)
 
     # num_draws is small and static: unrolled packed-argmax extraction
     for j in range(num_draws):
         m = jnp.max(packed, axis=1, keepdims=True)
         idx = jnp.int32(cmask) - (m & jnp.int32(cmask))
+        # degenerate row: fewer kept candidates than draws (possible when
+        # beam_size == top_k and UNK sat inside the top-K set) — every
+        # packed entry is _INT_MIN and idx would decode to cmask >= vocab.
+        # Emit column 0 instead (matches the pre-packing kernel, which
+        # argmaxed an all-equal row to its first column).
+        idx = jnp.where(m == _INT_MIN, 0, idx)
         hit = col == idx
         val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
                       keepdims=True)

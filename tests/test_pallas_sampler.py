@@ -73,6 +73,23 @@ def test_draws_only_from_filter_support():
     assert set(np.asarray(ids).reshape(-1).tolist()) <= {0, 1, 2}
 
 
+def test_exhausted_support_stays_in_vocab():
+    # beam_size == top_k with UNK inside the top-K: only top_k-1 kept
+    # candidates exist, so the last draw's support is exhausted. The
+    # packed argmax must emit an in-vocab id (column 0), not the decoded
+    # column mask (>= vocab) — ADVICE r1 regression.
+    row = np.full((8, V), -10.0, np.float32)
+    row[:, :3] = [3.0, 2.0, 1.0]
+    row[:, 1] = 4.0  # UNK on top, inside the top_k=3 set
+    ids, _ = _sample(jnp.asarray(row), seed=0, top_k=3, num_draws=3)
+    ids = np.asarray(ids)
+    assert (ids >= 0).all() and (ids < V).all()
+    assert not (ids == 1).any()
+    # the two real candidates appear; the exhausted draw falls back to 0
+    for r in range(ids.shape[0]):
+        assert {0, 2} <= set(ids[r].tolist())
+
+
 def test_row_padding():
     # rows not divisible by block_rows pad internally and slice back
     rng = np.random.default_rng(1)
