@@ -1,16 +1,39 @@
-"""Benchmark: meme-caption generation throughput on the serving path.
+"""Benchmark: the serving + training paths at REALISTIC configs.
 
 Headline metric (BASELINE.md north star): generated captions/sec at
-beam=5, len=32. Baseline target is 10,000/s aggregate on v5e-8, i.e.
-1,250/s per chip — ``vs_baseline`` reports value / 1250 measured on the
-single available chip.
+beam=5, len=32 — measured at the REAL memes900k word-vocab scale
+(min_df=5 ~= 29k types; reference deephumor_demo.ipynb cell 9), not a
+flattering small vocab. Baseline target is 10,000/s aggregate on v5e-8,
+i.e. 1,250/s per chip — ``vs_baseline`` reports value / 1250 measured on
+the single available chip.
+
+Secondary driver-visible numbers in the same JSON line:
+  - word_v8192_captions_s: the round-1 headline config (kernel-perf view),
+  - char_captions_s: char-model serving (len=128, beam=7, top_k=50 —
+    notebook cells 35/43 defaults; 4 of the 8 reference checkpoints),
+  - train_examples_s: trunk-cached jitted train step at the word config,
+  - e2e_memes_s: the BASELINE config-5 product path — 300-template sweep,
+    encode + batched generate + host-side PIL rendering overlapped. NOTE:
+    this box has ONE cpu core, so rendering (~85/s/core, embarrassingly
+    parallel across host cores) is the binding constraint here, not the
+    TPU; e2e_captions_s is the same sweep without rendering.
 
 Serving design being measured: per-template ResNet features are encoded
 once and cached (300 templates, amortized to ~0), and the decoder runs the
-whole beam-search token loop inside one jitted lax.scan over KV caches,
+whole beam-search token loop inside one jitted while_loop over KV caches,
 batched over (memes x beams). The reference has no published numbers and
 re-runs a full O(L^2) forward per token per meme on GPU
 (transformers.py:547-573).
+
+EOS shaping: random-weight logits essentially never produce EOS inside
+the top-64, which would make every caption run to max_len — unrealistic.
+The classifier's EOS bias is raised to 1.5, calibrated so the mean
+generated caption is ~14 tokens (memes900k captions are filtered to <=31
+tokens and average in the low teens). Measured effect on captions/s is
+<1% (items rarely have ALL beams end under the reference's stochastic
+survivor sampling, so the loop still runs near max_len — see
+docs/DIVERGENCES.md on early-exit dynamics); the shaping is kept for
+honesty, not effect.
 """
 
 import json
@@ -22,38 +45,55 @@ import jax
 import jax.numpy as jnp
 
 # flagship serving config: word-level CaptioningTransformer
-VOCAB = 8192
+VOCAB = 29184  # memes900k word vocab @ min_df=5 (~29k), lane-padded
+VOCAB_SMALL = 8192
 HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
 BEAM = 5
 MAX_LEN = 32
-BATCH = 896  # memes per call (post flat-dot-kernel sweet spot; 224-2240 swept)
+BATCH = 896  # memes per call (224-2240 swept; plateau 896-1792)
+EOS_BIAS = 1.5  # mean generated length ~14 tokens (see module docstring)
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE.json north star / v5e-8 chips
 
+# char serving config (notebook cells 35/43: len=128, beam=7, top_k=50)
+CHAR_VOCAB = 128
+CHAR_LEN = 128
+CHAR_BEAM = 7
+CHAR_TOPK = 50
+CHAR_BATCH = 256
 
-def _finish(out):
+
+def _finish(x):
     """Forces completion with a host transfer — under the remote (axon)
     platform ``block_until_ready`` returns before the remote execution has
     actually finished, so wall-clock timing must fetch data."""
-    return np.asarray(out["chosen"])
+    return np.asarray(x)
 
 
-def main():
+def _word_model(vocab):
     from deephumor_tpu.models import CaptioningTransformer
 
     model = CaptioningTransformer(
-        num_tokens=VOCAB, hid_dim=HID, n_layers=LAYERS, n_heads=HEADS,
+        num_tokens=vocab, hid_dim=HID, n_layers=LAYERS, n_heads=HEADS,
         pf_dim=PF, max_len=MAX_LEN + 2, compute_dtype="bfloat16",
     )
-    key = jax.random.PRNGKey(0)
-    params = model.init(key)
+    params = model.init(jax.random.PRNGKey(0))
+    cls = dict(params["decoder"]["classifier"])
+    cls["bias"] = cls["bias"].at[3].set(EOS_BIAS)
+    params["decoder"] = dict(params["decoder"], classifier=cls)
+    return model, params
 
-    # cached per-template features (the encode cost is amortized across
-    # thousands of captions per template and excluded from the hot loop)
-    rng = np.random.default_rng(0)
-    start_emb = jnp.asarray(rng.normal(size=(BATCH, HID)).astype(np.float32))
+
+def _features(batch, hid, seed=0):
+    rng = np.random.default_rng(seed)
+    start = jnp.asarray(rng.normal(size=(batch, hid)).astype(np.float32))
     spatial = jnp.asarray(
-        rng.normal(size=(BATCH, 49, HID)).astype(np.float32)
-    )
+        rng.normal(size=(batch, 49, hid)).astype(np.float32))
+    return start, spatial
+
+
+def bench_generation(vocab, batch=BATCH, iters=10):
+    model, params = _word_model(vocab)
+    start_emb, spatial = _features(batch, HID)
 
     def run(k):
         return model.generate_from_emb(
@@ -61,23 +101,20 @@ def main():
             beam_size=BEAM, top_k=64, temperature=1.0, sampler="pallas",
         )
 
-    # compile + settle
-    _finish(run(jax.random.PRNGKey(1)))
-
-    # throughput
-    n_iters = 10
+    _finish(run(jax.random.PRNGKey(1))["chosen"])
     t0 = time.perf_counter()
-    for i in range(n_iters):
+    for i in range(iters):
         out = run(jax.random.PRNGKey(2 + i))
-    _finish(out)
+    _finish(out["chosen"])
     dt = time.perf_counter() - t0
-    captions_per_sec = BATCH * n_iters / dt
+    return batch * iters / dt, (model, params)
 
-    # per-meme latency (single meme, beam=5), amortized over a jitted
-    # loop of 20 independent generations: a per-call measurement would be
-    # dominated by the ~25 ms dispatch+fetch overhead of the remote
-    # tunnel (see benchmarks/attn_microbench.py), not device time
-    se1, sp1 = start_emb[:1], spatial[:1]
+
+def bench_latency(model, params):
+    """Amortized single-meme latency: a per-call wall measurement is
+    dominated by the ~25 ms dispatch+fetch overhead of the remote tunnel
+    (see benchmarks/attn_microbench.py), not device time."""
+    se1, sp1 = _features(1, HID, seed=3)
 
     def run1(k):
         return model.generate_from_emb(
@@ -92,19 +129,152 @@ def main():
             return acc + out["chosen"][0, 0]
         return jax.lax.fori_loop(0, 20, body, jnp.int32(0))
 
-    np.asarray(lat_loop(jax.random.PRNGKey(90)))
+    _finish(lat_loop(jax.random.PRNGKey(90)))
     t0 = time.perf_counter()
-    np.asarray(lat_loop(jax.random.PRNGKey(91)))
-    p50_ms = (time.perf_counter() - t0) / 20 * 1000
+    _finish(lat_loop(jax.random.PRNGKey(91)))
+    return (time.perf_counter() - t0) / 20 * 1000
+
+
+def bench_char(iters=4):
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=CHAR_VOCAB, hid_dim=HID, n_layers=LAYERS,
+        n_heads=HEADS, pf_dim=PF, max_len=CHAR_LEN + 2,
+        compute_dtype="bfloat16",
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    cls = dict(params["decoder"]["classifier"])
+    # chars per caption ~55 on memes900k; bias for plausible termination
+    cls["bias"] = cls["bias"].at[3].set(1.0)
+    params["decoder"] = dict(params["decoder"], classifier=cls)
+    start_emb, spatial = _features(CHAR_BATCH, HID, seed=1)
+
+    def run(k):
+        return model.generate_from_emb(
+            params, (start_emb, spatial), key=k, max_len=CHAR_LEN,
+            beam_size=CHAR_BEAM, top_k=CHAR_TOPK, temperature=1.1,
+            sampler="pallas",
+        )
+
+    _finish(run(jax.random.PRNGKey(1))["chosen"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.PRNGKey(2 + i))
+    _finish(out["chosen"])
+    return CHAR_BATCH * iters / (time.perf_counter() - t0)
+
+
+def bench_train(iters=20, bs=256):
+    """Trunk-cached jitted train step (forward+backward+optax) at the
+    word config — the Trainer's serving-style amortization (reference
+    anchor: trainer.py:148-149 prints epoch wall time, never records it).
+    """
+    from deephumor_tpu.experiments.trainer import Trainer
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=VOCAB, hid_dim=HID, n_layers=LAYERS, n_heads=HEADS,
+        pf_dim=PF, max_len=50,  # pad-to-common-length quirk needs >= 49
+    )
+    trainer = Trainer(model, experiment_title="bench",
+                      log_dir="/tmp/dh_bench_logs", donate=False)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    trainer._trunk_cache = jnp.asarray(
+        rng.normal(size=(300, 7, 7, 2048)).astype(np.float32))
+    trainer._build_steps()
+    step = trainer._train_step
+    batch = {
+        "captions": jnp.asarray(
+            rng.integers(6, VOCAB, size=(bs, 33)), jnp.int32),
+        "image_rows": jnp.asarray(
+            rng.integers(0, 300, size=(bs,)), jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, batch, key)
+    _finish(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+    _finish(m["loss"])
+    return bs * iters / (time.perf_counter() - t0)
+
+
+def bench_end_to_end(render=True):
+    """BASELINE config-5: 300-template sweep — encode once, generate 10
+    captions per template (batched), render overlapped on host threads."""
+    from PIL import Image
+
+    from deephumor_tpu.data import Vocab
+    from deephumor_tpu.pipeline import MemeGenerationPipeline
+
+    model, params = _word_model(VOCAB)
+    vocab = Vocab([f"w{i}" for i in range(VOCAB - 6)])
+    pipe = MemeGenerationPipeline(model, params, vocab)
+
+    rng = np.random.default_rng(0)
+    ids = [f"tmpl{i}" for i in range(300)]
+    images = rng.normal(size=(300, 224, 224, 3)).astype(np.float32)
+    pils = None
+    if render:
+        pils = [
+            Image.fromarray(
+                rng.integers(0, 255, (300, 400, 3), dtype=np.uint8), "RGB")
+            for _ in ids
+        ]
+    t0 = time.perf_counter()
+    pipe.add_templates(ids, images, pil_images=pils)
+    t_encode = time.perf_counter() - t0
+
+    work = [tid for tid in ids for _ in range(10)]
+    gen = dict(max_len=MAX_LEN, beam_size=BEAM, top_k=64,
+               sampler="pallas")
+    # warm the decode-loop compile out of the measurement (the pipeline
+    # reuses the generation executable compiled by bench_generation only
+    # if shapes match; pad_to=BATCH keeps one executable)
+    pipe.generate_captions(work[:BATCH], key=jax.random.PRNGKey(0),
+                           pad_to=BATCH, **gen)
+    t0 = time.perf_counter()
+    if render:
+        outputs = pipe.generate_memes_batched(
+            work, batch_size=BATCH, key=jax.random.PRNGKey(1), **gen)
+    else:
+        outputs = []
+        for start in range(0, len(work), BATCH):
+            chunk = work[start:start + BATCH]
+            outputs += pipe.generate_captions(
+                chunk, key=jax.random.fold_in(jax.random.PRNGKey(1), start),
+                pad_to=BATCH, **gen)
+    dt = time.perf_counter() - t0
+    assert len(outputs) == len(work)
+    return len(work) / dt, t_encode
+
+
+def main():
+    word_capt_s, (model, params) = bench_generation(VOCAB)
+    p50_ms = bench_latency(model, params)
+    word_small_capt_s, _ = bench_generation(VOCAB_SMALL, iters=6)
+    char_capt_s = bench_char()
+    train_ex_s = bench_train()
+    e2e_capt_s, _ = bench_end_to_end(render=False)
+    e2e_memes_s, t_encode = bench_end_to_end(render=True)
 
     print(
         json.dumps(
             {
-                "metric": "captions/sec/chip (beam=5, len=32)",
-                "value": round(captions_per_sec, 1),
+                "metric":
+                    f"captions/sec/chip (word V={VOCAB}, beam=5, len=32)",
+                "value": round(word_capt_s, 1),
                 "unit": "captions/s",
-                "vs_baseline": round(captions_per_sec / PER_CHIP_TARGET, 3),
+                "vs_baseline": round(word_capt_s / PER_CHIP_TARGET, 3),
                 "p50_per_meme_ms": round(p50_ms, 2),
+                "word_v8192_captions_s": round(word_small_capt_s, 1),
+                "char_captions_s": round(char_capt_s, 1),
+                "train_examples_s": round(train_ex_s, 1),
+                "e2e_captions_s": round(e2e_capt_s, 1),
+                "e2e_memes_s": round(e2e_memes_s, 1),
+                "encode_300_templates_s": round(t_encode, 2),
             }
         )
     )

@@ -20,14 +20,25 @@ from PIL import Image, ImageDraw, ImageFont
 
 __all__ = ["memeify_image", "get_maximal_font", "split_to_lines", "caption_image"]
 
-# Default font: an Impact-style bold face. The reference ships impact.ttf
-# (reference fonts/impact.ttf); we resolve a font in this order so the
-# renderer works out of the box on any host.
+# Default font resolution. The reference ships Microsoft's impact.ttf
+# (reference fonts/impact.ttf) — a NON-free font this package does not
+# redistribute; drop a copy at ``deephumor_tpu/imaging/fonts/impact.ttf``
+# (or any impact-style face) and it takes precedence. The PACKAGED
+# default is DejaVu Sans Bold (``fonts/default.ttf``, free license in
+# ``fonts/DEJAVU-LICENSE``), so rendering — and the pinned golden-image
+# tests — are reproducible on any host with no system-font dependence.
 _FONT_CANDIDATES = (
     os.path.join(os.path.dirname(__file__), "fonts", "impact.ttf"),
     "/usr/share/fonts/truetype/msttcorefonts/Impact.ttf",
+    os.path.join(os.path.dirname(__file__), "fonts", "default.ttf"),
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
 )
+
+
+def packaged_font_path():
+    """The font bundled with the package (host-independent; golden tests
+    pin to this)."""
+    return os.path.join(os.path.dirname(__file__), "fonts", "default.ttf")
 
 
 def default_font_path():

@@ -99,7 +99,7 @@ def _default_attn_impl(num_items=None):
 @functools.lru_cache(maxsize=256)
 def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
                        top_k, greedy, eos_index, sampler="exact",
-                       attn="xla"):
+                       attn="xla", compact=None):
     """One compiled end-to-end generation program per (model hyperparams,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
@@ -114,11 +114,12 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
             )
         else:
             enc = x
+        kw = {} if compact is None else {"compact": compact}
         return model._generate_impl(
             params, enc, key, caption, temperature,
             max_len=max_len, beam_size=beam_size, top_k=top_k,
             greedy=greedy, eos_index=eos_index, prefix_len=prefix_len,
-            sampler=sampler, attn=attn,
+            sampler=sampler, attn=attn, **kw,
         )
 
     return jax.jit(fn)
@@ -227,8 +228,10 @@ class CaptioningLSTM:
 
     def _generate_impl(self, params, emb, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, sampler="exact", attn="xla"):
+                       prefix_len, sampler="exact", attn="xla",
+                       compact=None):
         del attn  # recurrent state shuffles directly; no ancestry caches
+        del compact  # no phase boundaries (single scan, no KV caches)
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -512,23 +515,30 @@ class CaptioningTransformerBase:
             anc = state["anc"].at[:, :, pos].set(
                 jnp.arange(beam, dtype=jnp.int32)[None, :]
             )
+            # cross-attention consts come from the state when the engine
+            # compacts items (they must follow the item permutation),
+            # from the closure otherwise
+            cross = state.get(
+                "cross", None if consts is None else consts["cross"])
+            enc_key_mask = state.get(
+                "enc_key_mask",
+                None if consts is None else consts["enc_key_mask"])
             emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
             logits, cache = tfm.decode_step(
                 params["decoder"], emb, pos, state["cache"], valid,
                 self.n_heads,
-                cross=None if consts is None else consts["cross"],
-                enc_key_mask=(
-                    None if consts is None else consts["enc_key_mask"]
-                ),
+                cross=cross, enc_key_mask=enc_key_mask,
                 anc=anc, attn_impl=attn, p_eff=p_eff,
                 return_hidden=return_hidden,
+                live_items=state.get("live"),
             )
-            return logits, {
-                "cache": cache,
-                "valid": valid,
-                "pos": state["pos"] + 1,
-                "anc": anc,
-            }
+            return logits, dict(
+                state,
+                cache=cache,
+                valid=valid,
+                pos=state["pos"] + 1,
+                anc=anc,
+            )
 
         return step
 
@@ -537,19 +547,77 @@ class CaptioningTransformerBase:
         """Survivor reorder WITHOUT touching the KV caches: validity/pos
         follow the branch (small), the ancestry table re-roots onto the
         surviving branch's history, cache rows stay in place (see
-        transformer._ancestry_attention)."""
-        return {
-            "cache": state["cache"],
-            "valid": jnp.take(state["valid"], flat_branch, axis=0),
-            "pos": state["pos"],
-            "anc": jnp.take_along_axis(
+        transformer._ancestry_attention). Compaction leaves (cross K/V,
+        live count, item permutation) are per-item, not per-branch, and
+        pass through untouched."""
+        return dict(
+            state,
+            valid=jnp.take(state["valid"], flat_branch, axis=0),
+            anc=jnp.take_along_axis(
                 state["anc"], branch[:, :, None], axis=1
             ),
-        }
+        )
+
+    @staticmethod
+    def _compact_state(state, seq, val, ended):
+        """Early-EOS row compaction (applied at static phase boundaries):
+        stable-partitions items so every all-beams-ended item moves to the
+        batch tail, then records the shrunken live count. The pallas
+        decode kernels clamp their grids to the live prefix, so dead
+        items stop costing cache DMA and compute. Results are identical
+        to the uncompacted run (ended branches only ever append pads at
+        score 0; the final outputs are permuted back by
+        ``_finalize_compaction``). Reference behavior anchor: the
+        all-ended early exit at rnn_models.py:131-132 — this is its
+        per-item form."""
+        num_items, beam = ended.shape
+        dead = jnp.all(ended, axis=1)
+        order = jnp.argsort(dead, stable=True).astype(jnp.int32)
+        live = jnp.sum(~dead).astype(jnp.int32)
+        flat = (
+            order[:, None] * beam
+            + jnp.arange(beam, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+
+        def take_items(x):
+            return jnp.take(x, order, axis=0)
+
+        def take_rows(x):
+            return jnp.take(x, flat, axis=0)
+
+        new_state = dict(
+            state,
+            cache=[
+                {"k": take_rows(l["k"]), "v": take_rows(l["v"])}
+                for l in state["cache"]
+            ],
+            valid=take_rows(state["valid"]),
+            anc=take_items(state["anc"]),
+            item_perm=take_items(state["item_perm"]),
+            live=live,
+        )
+        if state.get("cross") is not None:
+            new_state["cross"] = [
+                None if c is None
+                else {"ek": take_items(c["ek"]), "ev": take_items(c["ev"])}
+                for c in state["cross"]
+            ]
+        if state.get("enc_key_mask") is not None:
+            new_state["enc_key_mask"] = take_items(state["enc_key_mask"])
+        return (new_state, take_items(seq), take_items(val),
+                take_items(ended))
+
+    @staticmethod
+    def _finalize_compaction(state, out):
+        """Undoes the compaction permutation so outputs land in caller
+        order."""
+        inv = jnp.argsort(state["item_perm"])
+        return {k: jnp.take(v, inv, axis=0) for k, v in out.items()}
 
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
-                       prefix_len, sampler="exact", attn="xla"):
+                       prefix_len, sampler="exact", attn="xla",
+                       compact=None):
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -568,6 +636,33 @@ class CaptioningTransformerBase:
             jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
             (num_items, beam_size, max_positions),
         )
+        # early-EOS row compaction: at each phase boundary all-ended items
+        # are partitioned to the batch tail and the pallas kernels clamp
+        # to the live prefix. MEASURED (round 2, V=29k, batch 896,
+        # EOS-shaped logits, mean len ~14): under the reference's
+        # STOCHASTIC survivor sampling, 0/896 items ever have all beams
+        # ended — ended branches' frozen scores lose the survivor draw to
+        # the flood of live-branch candidates, so one live branch per
+        # item persists ~forever and compaction only costs its boundary
+        # permutations (~10%). Under GREEDY survivor selection the frozen
+        # ended scores dominate deterministically, items do die, and
+        # compaction pays. Default: auto-on for greedy only.
+        use_compact = (
+            greedy and attn.startswith("pallas") and num_items >= 32
+            if compact is None else compact
+        )
+        live_fn = compactors = finalize_fn = None
+        if use_compact:
+            state["live"] = jnp.int32(num_items)
+            state["item_perm"] = jnp.arange(num_items, dtype=jnp.int32)
+            if consts is not None:
+                # consts must follow the item permutation -> carry them in
+                # the loop state (loop-invariant between compactions)
+                state["cross"] = consts["cross"]
+                state["enc_key_mask"] = consts["enc_key_mask"]
+                consts = None
+            live_fn = lambda st: st.get("live")  # noqa: E731
+            finalize_fn = self._finalize_compaction
         # staged cache-read budget: the pallas attention kernel reads only
         # the first p_eff cache positions, so the token loop runs as a few
         # static phases whose budget grows with the decode position —
@@ -600,6 +695,8 @@ class CaptioningTransformerBase:
                 (steps - 1, self._make_step(
                     params, consts, attn, return_hidden=ret_hidden)))
             phases = bounds
+            if use_compact:
+                compactors = [self._compact_state] * (len(bounds) - 1)
         return beam_search(
             key,
             self._make_step(params, consts, attn,
@@ -610,13 +707,16 @@ class CaptioningTransformerBase:
             greedy=greedy, sampler=sampler,
             shuffle_fn=self._shuffle_state, phases=phases,
             classifier=classifier,
+            live_fn=live_fn, compactors=compactors,
+            finalize_fn=finalize_fn,
             eos_index=eos_index, pad_index=self.pad_index,
         )
 
     def generate_from_emb(self, params, enc, key=None, caption=None,
                           max_len=25, temperature=1.0, beam_size=10,
                           top_k=50, eos_index=EOS_ID, greedy=False,
-                          approx_top_k=False, sampler=None, attn=None):
+                          approx_top_k=False, sampler=None, attn=None,
+                          compact=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
@@ -629,14 +729,14 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler, attn,
+            eos_index, sampler, attn, compact,
         )
         return fn(params, enc, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
                  eos_index=EOS_ID, greedy=False, approx_top_k=False,
-                 sampler=None, attn=None):
+                 sampler=None, attn=None, compact=None):
         """Batched caption generation
         (API parity: caption_models.py:280-306)."""
         if key is None:
@@ -647,7 +747,7 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler, attn,
+            eos_index, sampler, attn, compact,
         )
         return fn(params, images, key, caption, temperature)
 

@@ -552,7 +552,8 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 n_heads, cross=None, enc_key_mask=None, anc=None,
-                attn_impl="xla", p_eff=None, return_hidden=False):
+                attn_impl="xla", p_eff=None, return_hidden=False,
+                live_items=None):
     """One incremental decode position.
 
     Args:
@@ -586,6 +587,10 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             buffers through a conditional, so every branch boundary
             materialized full cache copies. Sequential while_loops keep
             the alias chain intact.
+        live_items: optional traced int32 — live-item count for the
+            pallas kernels' dead-block skipping (the engine's early-EOS
+            compaction keeps live items leading; see
+            ops/pallas_attention.ancestry_attention_update).
 
     Returns:
         (logits ``[bs, num_tokens]``, updated cache)
@@ -643,6 +648,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
                 anc_bias, pos, beam=anc.shape[1], n_heads=n_heads,
                 interpret=(attn_impl == "pallas_interpret"), p_eff=p_eff,
+                live_items=live_items,
             )
             new_cache.append({"k": cache_k, "v": cache_v})
             attn = L.linear(layer["self_attn"]["fc_o"], attn)
@@ -684,6 +690,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                         cross[i]["ev"], cross_bias,
                         groups=cross[i]["ek"].shape[0], n_heads=n_heads,
                         interpret=(attn_impl == "pallas_interpret"),
+                        live_items=live_items,
                     ),
                 )
             else:

@@ -339,7 +339,7 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
     return out.reshape(rows, d_model)
 
 
-def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
+def _kernel_native4d_update(scal_ref, q_ref, k_ref, v_ref, knew_ref,
                             vnew_ref, bias_ref, kout_ref, vout_ref, out_ref,
                             kw_ref, vw_ref, sem_k, sem_v, *,
                             n_heads, scale, block_items):
@@ -353,88 +353,103 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
     into the VMEM blocks it already streamed for attention, and DMAs ONLY
     the 8-position tile containing ``pos`` back to HBM (~1.1 MB of
     writes per cache instead of a 38 MB copy).
+
+    ``scal_ref`` (scalar prefetch): [0] = decode position, [1] = number
+    of LIVE item blocks. Blocks past the live count skip all compute and
+    (via the clamped index maps) all input DMA — the engine's early-EOS
+    row compaction keeps live items in a leading prefix, so cache bytes
+    track live beams instead of the launch batch.
     """
-    pos = pos_ref[0]
+    pos = scal_ref[0]
     grid_i = pl.program_id(0)
-    bi, beam, pe, d_model = k_ref.shape
-    head_dim = d_model // n_heads
-    inv_scale = 1.0 / scale
 
-    # start the writeback tile staging IMMEDIATELY (VMEM->VMEM copy of the
-    # 8-tile containing pos — dynamic_slice of a value does not lower, so
-    # it goes through scratch); the wait is deferred until after the
-    # attention math so the copy hides behind compute (the up-front wait
-    # cost ~0.05 ms/layer — benchmarks/attn_v3.py)
-    tile = pl.multiple_of((pos // 8) * 8, 8)
-    row0 = grid_i * block_items
-    dk_in = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :],
-                                  kw_ref, sem_k)
-    dv_in = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :],
-                                  vw_ref, sem_v)
-    dk_in.start()
-    dv_in.start()
+    @pl.when(grid_i < scal_ref[1])
+    def _live_block():
+        bi, beam, pe, d_model = k_ref.shape
+        head_dim = d_model // n_heads
+        inv_scale = 1.0 / scale
 
-    # substitute the fresh column into the streamed blocks. The predicate
-    # is a [.., P, 1] iota broadcast across lanes (a full-shape iota adds
-    # two more VPU passes over cache-sized blocks)
-    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, 1), 2) == pos
-    kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
-    vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
+        # start the writeback tile staging IMMEDIATELY (VMEM->VMEM copy of
+        # the 8-tile containing pos — dynamic_slice of a value does not
+        # lower, so it goes through scratch); the wait is deferred until
+        # after the attention math so the copy hides behind compute (the
+        # up-front wait cost ~0.05 ms/layer — benchmarks/attn_v3.py)
+        tile = pl.multiple_of((pos // 8) * 8, 8)
+        row0 = grid_i * block_items
+        dk_in = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :],
+                                      kw_ref, sem_k)
+        dv_in = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :],
+                                      vw_ref, sem_v)
+        dk_in.start()
+        dv_in.start()
 
-    # merge (slot, position) INSIDE the kernel (the round-2 notes record
-    # this reshape as impossible — Mosaic now lowers it) and fold ALL
-    # heads into a single QK and a single AV dot per block with
-    # block-diagonal masked queries: row (h, j) of q_all carries branch
-    # j's query masked to head h's 64 lanes, so contracting the FULL
-    # d_model yields exactly head h's energies (other heads' lanes
-    # contribute 0). 8x the MACs of the useful computation, but 2 MXU
-    # issues per block instead of 16 skinny ones: 0.302 (slot-loop) ->
-    # 0.270 (per-head flat) -> 0.232 ms/layer (benchmarks/attn_v4.py).
-    kb2 = kb.reshape(bi, beam * pe, d_model)
-    vb2 = vb.reshape(bi, beam * pe, d_model)
-    bias = bias_ref[:]                               # [bi, beam, beam*Pe]
+        # substitute the fresh column into the streamed blocks. The
+        # predicate is a [.., P, 1] iota broadcast across lanes (a
+        # full-shape iota adds two more VPU passes over cache-sized blocks)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, 1), 2) == pos
+        kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
+        vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
 
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (bi, n_heads * beam, d_model), 2)
-    hrow = jax.lax.broadcasted_iota(
-        jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
-    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
-    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+        # merge (slot, position) INSIDE the kernel (the round-2 notes
+        # record this reshape as impossible — Mosaic now lowers it) and
+        # fold ALL heads into a single QK and a single AV dot per block
+        # with block-diagonal masked queries: row (h, j) of q_all carries
+        # branch j's query masked to head h's 64 lanes, so contracting the
+        # FULL d_model yields exactly head h's energies (other heads'
+        # lanes contribute 0). 8x the MACs of the useful computation, but
+        # 2 MXU issues per block instead of 16 skinny ones: 0.302
+        # (slot-loop) -> 0.270 (per-head flat) -> 0.232 ms/layer
+        # (benchmarks/attn_v4.py).
+        kb2 = kb.reshape(bi, beam * pe, d_model)
+        vb2 = vb.reshape(bi, beam * pe, d_model)
+        bias = bias_ref[:]                           # [bi, beam, beam*Pe]
 
-    e = jax.lax.dot_general(
-        q_all, kb2,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * inv_scale                                    # [bi, H*beam, beam*Pe]
-    e = e + jnp.concatenate([bias] * n_heads, axis=1)
-    attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (bi, n_heads * beam, d_model), 2)
+        hrow = jax.lax.broadcasted_iota(
+            jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
+        qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+        q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
+            q_ref.dtype)
 
-    out_all = jax.lax.dot_general(
-        attn, vb2,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                # [bi, H*beam, D]
-    for h in range(n_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        out_ref[:, :, sl] = out_all[
-            :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
+        e = jax.lax.dot_general(
+            q_all, kb2,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_scale                                # [bi, H*beam, beam*Pe]
+        e = e + jnp.concatenate([bias] * n_heads, axis=1)
+        attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
 
-    # writeback: wait the staged tiles, insert the fresh column, DMA the
-    # tiles back in place (caches aliased input->output)
-    dk_in.wait()
-    dv_in.wait()
-    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
-                                    2) == pos % 8
-    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype), kw_ref[:])
-    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype), vw_ref[:])
-    dk_out = pltpu.make_async_copy(
-        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_k)
-    dv_out = pltpu.make_async_copy(
-        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :], sem_v)
-    dk_out.start()
-    dv_out.start()
-    dk_out.wait()
-    dv_out.wait()
+        out_all = jax.lax.dot_general(
+            attn, vb2,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                            # [bi, H*beam, D]
+        for h in range(n_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            out_ref[:, :, sl] = out_all[
+                :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
+
+        # writeback: wait the staged tiles, insert the fresh column, DMA
+        # the tiles back in place (caches aliased input->output)
+        dk_in.wait()
+        dv_in.wait()
+        sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
+                                        2) == pos % 8
+        kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype),
+                              kw_ref[:])
+        vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype),
+                              vw_ref[:])
+        dk_out = pltpu.make_async_copy(
+            kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
+            sem_k)
+        dv_out = pltpu.make_async_copy(
+            vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
+            sem_v)
+        dk_out.start()
+        dv_out.start()
+        dk_out.wait()
+        dv_out.wait()
 
 
 @functools.partial(
@@ -444,7 +459,8 @@ def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
 )
 def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
                               *, beam, n_heads, block_items=None,
-                              interpret=False, p_eff=None):
+                              interpret=False, p_eff=None,
+                              live_items=None):
     """Fused: write (k_new, v_new) at ``pos``, then ancestry attention.
 
     Equivalent to ``cache_k[:, pos] = k_new; cache_v[:, pos] = v_new``
@@ -457,6 +473,13 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
             cache position axis must be a multiple of 8 (init_cache pads).
         k_new/v_new: ``[B*beam, D]`` this position's entries.
         pos: int32 scalar decode position (< p_eff if given).
+        live_items: optional traced int32 — number of LIVE items, which
+            must occupy a leading prefix of the item axis (the engine's
+            early-EOS compaction maintains this). Item blocks past the
+            live count skip their compute AND their cache DMA (clamped
+            index maps repeat the last live block, which Pallas does not
+            re-fetch); their attention output rows are stale garbage that
+            the engine's ended-branch masking discards.
 
     Returns:
         (attention output ``[B*beam, D]``, cache_k, cache_v).
@@ -481,6 +504,12 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
 
     pe = p if p_eff is None else min(p_eff, p)
     assert pe % 8 == 0, (pe, p)
+    if interpret and pe != p:
+        # the interpreter mis-shapes ALIASED buffers whose block (pe) does
+        # not divide the array axis (p) — read the full cache instead;
+        # results are identical (validity masks the tail), only the
+        # partial-read saving is dropped, and interpret mode is tests-only
+        pe = p
 
     qg = q.reshape(num_items, beam, d_model)
     kg = cache_k.reshape(num_items, beam, p, d_model)
@@ -495,11 +524,59 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     else:
         bias_flat = bias.reshape(num_items, beam, beam, p)[
             ..., :pe].reshape(num_items, beam, beam * pe)
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    n_blocks = num_items // block_items
+    if live_items is None:
+        nlive = jnp.int32(n_blocks)
+    else:
+        # ceil-div, clamped to [1, n_blocks] (index maps subtract 1)
+        nlive = jnp.clip(
+            (jnp.asarray(live_items, jnp.int32) + block_items - 1)
+            // block_items, 1, n_blocks)
+    scal = jnp.stack([jnp.asarray(pos, jnp.int32), nlive])
+
+    def clamped3(i, s):
+        return (jnp.minimum(i, s[1] - 1), 0, 0)
+
+    def clamped4(i, s):
+        return (jnp.minimum(i, s[1] - 1), 0, 0, 0)
 
     kernel = functools.partial(
         _kernel_native4d_update, n_heads=n_heads, scale=scale,
         block_items=block_items,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_items, beam, d_model), clamped3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, pe, d_model), clamped4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, pe, d_model), clamped4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, 1, d_model), clamped4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, 1, d_model), clamped4,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, beam * pe), clamped3,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            # out map is NOT clamped: dead blocks flush stale VMEM rows
+            # (garbage, discarded downstream); clamping would defer the
+            # flush of the last live block
+            pl.BlockSpec((block_items, beam, d_model),
+                         lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
+            pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     if interpret:
         ctx = pltpu.force_tpu_interpret_mode()
@@ -508,88 +585,62 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     with ctx:
         kc, vc, out = pl.pallas_call(
             kernel,
-            grid=(num_items // block_items,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((block_items, beam, d_model),
-                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, pe, d_model),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, pe, d_model),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, 1, d_model),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, 1, d_model),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, beam, beam * pe),
-                             lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((block_items, beam, d_model),
-                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            ),
+            grid_spec=grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct(kg.shape, kg.dtype),
                 jax.ShapeDtypeStruct(vg.shape, vg.dtype),
                 jax.ShapeDtypeStruct((num_items, beam, d_model), q.dtype),
             ),
             input_output_aliases={2: 0, 3: 1},
-            scratch_shapes=[
-                pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
-                pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 2 ** 20,
             ),
-        )(pos_arr, qg, kg, vg, knew, vnew, bias_flat)
+        )(scal, qg, kg, vg, knew, vnew, bias_flat)
     return (out.reshape(rows, d_model),
             kc.reshape(rows, p, d_model),
             vc.reshape(rows, p, d_model))
 
 
-def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *, n_heads,
-                  scale):
+def _kernel_cross(scal_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+                  n_heads, scale):
     # grouped single-step cross-attention: beam rows share their item's
     # encoder K/V (transformer._grouped_attention). Same all-heads
     # block-diagonal-masked-query trick as the self-attention kernel:
     # ONE QK dot and ONE AV dot per block over the full d_model
     # contraction instead of 2 skinny dots per head.
-    inv_scale = 1.0 / scale
-    _, r, d_model = q_ref.shape
-    bi = q_ref.shape[0]
-    head_dim = d_model // n_heads
+    # scal_ref[0] = number of live item blocks (dead blocks skip compute;
+    # their input DMA is skipped by the clamped index maps).
+    @pl.when(pl.program_id(0) < scal_ref[0])
+    def _live_block():
+        inv_scale = 1.0 / scale
+        _, r, d_model = q_ref.shape
+        bi = q_ref.shape[0]
+        head_dim = d_model // n_heads
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, n_heads * r, d_model), 2)
-    hrow = jax.lax.broadcasted_iota(
-        jnp.int32, (bi, n_heads * r, d_model), 1) // r
-    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
-    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (bi, n_heads * r, d_model), 2)
+        hrow = jax.lax.broadcasted_iota(
+            jnp.int32, (bi, n_heads * r, d_model), 1) // r
+        qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+        q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
+            q_ref.dtype)
 
-    e = jax.lax.dot_general(
-        q_all, k_ref[:],
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * inv_scale + bias_ref[:]                   # [bi, H*r, T] (+ [bi,1,T])
-    attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
-    out_all = jax.lax.dot_general(
-        attn, v_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                             # [bi, H*r, D]
-    for h in range(n_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        out_ref[:, :, sl] = out_all[:, h * r:(h + 1) * r, sl].astype(
-            out_ref.dtype)
+        e = jax.lax.dot_general(
+            q_all, k_ref[:],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * inv_scale + bias_ref[:]               # [bi, H*r, T] (+ [bi,1,T])
+        attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
+        out_all = jax.lax.dot_general(
+            attn, v_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                         # [bi, H*r, D]
+        for h in range(n_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            out_ref[:, :, sl] = out_all[:, h * r:(h + 1) * r, sl].astype(
+                out_ref.dtype)
 
 
 @functools.partial(
@@ -597,7 +648,8 @@ def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *, n_heads,
     static_argnames=("groups", "n_heads", "block_items", "interpret"),
 )
 def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
-                            block_items=16, interpret=False):
+                            block_items=16, interpret=False,
+                            live_items=None):
     """Single-query cross-attention of ``G*r`` rows over per-group K/V.
 
     Args:
@@ -605,6 +657,8 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
         ek/ev: ``[G, T, D]`` per-group encoder keys/values (pre-projected,
             loop-invariant across decode steps).
         bias: ``[G, 1, T]`` f32 additive mask (0 or -1e8), or None.
+        live_items: optional traced int32 — live-group count (groups past
+            it skip compute and input DMA; see ancestry_attention_update).
 
     Returns:
         ``[G*r, D]`` attention output (pre output-projection).
@@ -626,8 +680,36 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
     if block_items < 1:
         block_items = g
 
+    n_blocks = g // block_items
+    if live_items is None:
+        nlive = jnp.int32(n_blocks)
+    else:
+        nlive = jnp.clip(
+            (jnp.asarray(live_items, jnp.int32) + block_items - 1)
+            // block_items, 1, n_blocks)
+
+    def clamped(i, s):
+        return (jnp.minimum(i, s[0] - 1), 0, 0)
+
     qg = q.reshape(g, r, d_model)
     kernel = functools.partial(_kernel_cross, n_heads=n_heads, scale=scale)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_items, r, d_model), clamped,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, t, d_model), clamped,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, t, d_model), clamped,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, 1, t), clamped,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_items, r, d_model),
+                               lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
 
     if interpret:
         ctx = pltpu.force_tpu_interpret_mode()
@@ -636,22 +718,9 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
     with ctx:
         out = pl.pallas_call(
             kernel,
-            grid=(g // block_items,),
-            in_specs=[
-                pl.BlockSpec((block_items, r, d_model), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_items, 1, t), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((block_items, r, d_model),
-                                   lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((g, r, d_model), q.dtype),
-        )(qg, ek, ev, bias)
+        )(nlive.reshape(1), qg, ek, ev, bias)
     return out.reshape(rows, d_model)
 
 

@@ -48,7 +48,7 @@ def _order_key(x_f32):
     return jnp.where(i < 0, i ^ jnp.int32(0x7FFFFFFF), i)
 
 
-def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
+def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, *,
             top_k, num_draws, unk_index, vocab):
     # decorrelate programs; same seed -> same draw
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -58,12 +58,12 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
     # kernel is these count passes over [rows, V], and this halves them
     low_bits = 15 if logits_ref.dtype == jnp.bfloat16 else 0
     logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
-    _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref,
+    _sample_body(invt_ref, logits, low_bits, ids_ref,
                  top_k=top_k, num_draws=num_draws, unk_index=unk_index,
                  vocab=vocab)
 
 
-def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
+def _kernel_fused_classifier(scal_ref, invt_ref, x_ref, w_ref, b_ref,
                              ids_ref, vals_ref, *, top_k, num_draws,
                              unk_index, vocab):
     """Classifier matmul + sampler in ONE kernel: the [rows, V] logits
@@ -71,20 +71,27 @@ def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
     the draw (~150 MB/step at serving batch). The fresh logits are
     rounded to bf16 so the draw is numerically identical to the separate
     bf16-classifier + sampler path (and the threshold search keeps its
-    16-bit length)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    logits = jax.lax.dot_general(
-        x_ref[:], w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b_ref[:]
-    logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-    _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
-                 num_draws=num_draws, unk_index=unk_index, vocab=vocab)
+    16-bit length).
+
+    ``scal_ref`` (scalar prefetch): [0] = PRNG seed, [1] = number of live
+    row blocks — blocks past it skip the draw entirely (and, via the
+    clamped x index map, the hidden-state DMA); their output rows are
+    stale garbage that the engine's ended-branch masking discards."""
+    @pl.when(pl.program_id(0) < scal_ref[1])
+    def _live_block():
+        pltpu.prng_seed(scal_ref[0] + pl.program_id(0))
+        logits = jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[:]
+        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+        _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
+                     num_draws=num_draws, unk_index=unk_index, vocab=vocab)
 
 
-def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
-                 num_draws, unk_index, vocab):
+def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
+                 top_k, num_draws, unk_index, vocab):
     rows = logits.shape[0]
     keys = _order_key(logits)
 
@@ -141,7 +148,13 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
     # smallest filtered-out column, which can be UNK itself
     packed = jnp.where(keep, packed, _INT_MIN)
 
-    # num_draws is small and static: unrolled packed-argmax extraction
+    # num_draws is small and static: unrolled packed-argmax extraction.
+    # When ``vals_ref`` is None only the IDS leave the kernel — the raw
+    # logit values at the drawn ids are recomputed outside (a [rows, k]
+    # gather): the in-kernel extraction costs a full masked [rows, V]
+    # max pass per draw (~0.6 ms/step at V=29k, where it is dropped;
+    # at small vocab the pass is cheaper than the outside gather, so the
+    # fused-classifier path keeps it).
     for j in range(num_draws):
         m = jnp.max(packed, axis=1, keepdims=True)
         idx = jnp.int32(cmask) - (m & jnp.int32(cmask))
@@ -152,10 +165,11 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref, *, top_k,
         # argmaxed an all-equal row to its first column).
         idx = jnp.where(m == _INT_MIN, 0, idx)
         hit = col == idx
-        val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
-                      keepdims=True)
         ids_ref[:, j] = idx[:, 0]
-        vals_ref[:, j] = val[:, 0]
+        if vals_ref is not None:
+            val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
+                          keepdims=True)
+            vals_ref[:, j] = val[:, 0]
         packed = jnp.where(hit, _INT_MIN, packed)
 
 
@@ -224,7 +238,8 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
 )
 def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
                                         top_k, num_draws, unk_index=1,
-                                        block_rows=128, interpret=False):
+                                        block_rows=128, interpret=False,
+                                        live_rows=None):
     """``fused_topk_gumbel_sample`` of ``x @ w + b`` without materializing
     the logits in HBM.
 
@@ -233,6 +248,9 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
         w: ``[D, V]`` classifier weight (stays VMEM-resident across row
             blocks; the index map is constant so Pallas skips its re-DMA).
         b: ``[V]`` classifier bias.
+        live_rows: optional traced int32 — live-row count; rows past it
+            (a compacted-dead suffix) skip the matmul+draw and their
+            hidden-state DMA, returning stale garbage the engine masks.
         Everything else as :func:`fused_topk_gumbel_sample`. The matmul
         accumulates in f32 and rounds to bf16 like an XLA bf16 matmul
         (the separate path adds the bias post-rounding, so individual
@@ -256,32 +274,44 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
         padded_rows = rows
     out_cols = 128
 
+    n_blocks = padded_rows // block
+    if live_rows is None:
+        nlive = jnp.int32(n_blocks)
+    else:
+        nlive = jnp.clip(
+            (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
+            1, n_blocks)
+    scal = jnp.stack([jnp.asarray(seed, jnp.int32), nlive])
+
     kernel = functools.partial(
         _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
         unk_index=unk_index, vocab=vocab,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, d), lambda i, s: (jnp.minimum(i, s[1] - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, vocab), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vocab), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, out_cols), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, out_cols), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
     )
     ctx = (pltpu.force_tpu_interpret_mode() if interpret
            else contextlib.nullcontext())
     with ctx:
         ids, vals = pl.pallas_call(
             kernel,
-            grid=(padded_rows // block,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((block, d), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((d, vocab), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, vocab), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
@@ -290,7 +320,7 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
                 vmem_limit_bytes=100 * 2 ** 20,
             ),
         )(
-            jnp.asarray(seed, jnp.int32).reshape(1),
+            scal,
             jnp.asarray(inv_temperature, jnp.float32).reshape(1),
             # one dtype for the in-kernel dot (mixed f32 x bf16 operands
             # do not lower); the product is rounded to bf16 regardless
@@ -303,7 +333,7 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
 
 def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
           num_draws, logits, seed, inv_temperature):
-    ids, vals = pl.pallas_call(
+    [ids] = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -315,12 +345,9 @@ def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
         out_specs=[
             pl.BlockSpec((block, out_cols), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, out_cols), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
-            jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20,
@@ -330,4 +357,8 @@ def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
         jnp.asarray(inv_temperature, jnp.float32).reshape(1),
         logits,
     )
-    return ids[:rows, :num_draws], vals[:rows, :num_draws]
+    ids = ids[:rows, :num_draws]
+    # drawn ids' raw logits recomputed outside (see the fused variant)
+    vals = jnp.take_along_axis(
+        logits[:rows].astype(jnp.float32), ids, axis=1)
+    return ids, vals

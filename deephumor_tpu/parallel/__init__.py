@@ -2,6 +2,7 @@
 
 from deephumor_tpu.parallel.mesh import (
     data_sharding,
+    dp_generate,
     make_mesh,
     replicate,
     replicated_sharding,
@@ -15,6 +16,7 @@ __all__ = [
     "replicate",
     "data_sharding",
     "replicated_sharding",
+    "dp_generate",
     "tp_param_specs",
     "make_param_shardings",
 ]

@@ -23,6 +23,7 @@ __all__ = [
     "replicate",
     "data_sharding",
     "replicated_sharding",
+    "dp_generate",
 ]
 
 
@@ -67,3 +68,60 @@ def replicate(tree, mesh):
     """Replicates a pytree (params, opt state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
+    """Data-parallel batched generation over the ``data`` mesh axis.
+
+    Serving scale-out for the generation engine: the encoded batch is
+    split across devices and the FULL jitted beam-search loop — including
+    the Pallas attention/sampler kernels, which see per-shard local
+    shapes — runs independently per device under ``jax.shard_map``. Pure
+    DP: no collectives in the loop, so throughput scales linearly over
+    ICI-connected chips (and across hosts with jax.distributed).
+
+    Args:
+        model: a caption model (``generate_from_emb`` provider).
+        params: replicated parameter pytree.
+        enc: ``encode()`` output — array or tuple of arrays, batch axis 0
+            divisible by ``mesh.shape['data']``.
+        key: PRNG key; each shard folds in its data-axis index, so draws
+            are decorrelated across shards (greedy mode is unaffected and
+            matches the unsharded run token-for-token).
+        **generate_kwargs: forwarded to ``generate_from_emb``.
+
+    Returns:
+        the usual generation dict with full-batch (sharded) outputs.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if mesh.shape.get("model", 1) != 1:
+        raise ValueError("dp_generate shards over 'data' only; build the "
+                         "mesh with model=1")
+
+    enc_is_tuple = isinstance(enc, tuple)
+    enc_specs = (
+        tuple(PartitionSpec("data") for _ in enc)
+        if enc_is_tuple else PartitionSpec("data")
+    )
+
+    def per_shard(params, enc, key):
+        idx = jax.lax.axis_index("data")
+        local_key = jax.random.fold_in(key, idx)
+        out = model.generate_from_emb(
+            params, enc, key=local_key, **generate_kwargs
+        )
+        return out
+
+    fn = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(PartitionSpec(), enc_specs, PartitionSpec()),
+        out_specs=PartitionSpec("data"),
+        check_vma=False,
+    )
+    return fn(params, enc, key)

@@ -85,9 +85,11 @@ def test_caption_image_uppercases(img):
 
 
 def test_golden_render():
-    """Pixel-exact golden render (SURVEY §4): stable given the pinned
-    Pillow + DejaVuSans-Bold in this environment."""
+    """Pixel-exact golden render (SURVEY §4) against the PACKAGED font
+    (deephumor_tpu/imaging/fonts/default.ttf) — host-font independent."""
     import os
+
+    from deephumor_tpu.imaging.caption import packaged_font_path
 
     golden_path = os.path.join(
         os.path.dirname(__file__), "golden", "meme_320x240.png"
@@ -96,14 +98,18 @@ def test_golden_render():
     img = Image.new("RGB", (320, 240), (120, 100, 80))
     out = np.asarray(
         memeify_image(img, top="one does not simply",
-                      bottom="render a golden meme")
+                      bottom="render a golden meme",
+                      font_path=packaged_font_path())
     )
     np.testing.assert_array_equal(out, golden)
 
 
 def test_golden_render_grid_border():
-    """The reference's offset-grid border mode, pixel-exact golden."""
+    """The reference's offset-grid border mode, pixel-exact golden
+    (packaged font)."""
     import os
+
+    from deephumor_tpu.imaging.caption import packaged_font_path
 
     golden_path = os.path.join(
         os.path.dirname(__file__), "golden", "meme_320x240_grid.png"
@@ -112,6 +118,7 @@ def test_golden_render_grid_border():
     img = Image.new("RGB", (320, 240), (120, 100, 80))
     out = np.asarray(
         memeify_image(img, top="one does not simply",
-                      bottom="render a golden meme", border="grid")
+                      bottom="render a golden meme", border="grid",
+                      font_path=packaged_font_path())
     )
     np.testing.assert_array_equal(out, golden)

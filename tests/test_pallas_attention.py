@@ -155,3 +155,128 @@ def test_flash_variant_matches_fused_update(data):
                                    atol=2e-5)
         np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+
+
+def test_fused_update_live_clamp():
+    # live_items < num_items: live blocks compute exactly as the full run;
+    # dead blocks leave their caches untouched (their attention output is
+    # unspecified garbage the engine masks)
+    from deephumor_tpu.ops.pallas_attention import ancestry_attention_update
+
+    b, beam, p, h, d = 32, 5, 16, 4, 64
+    rows = b * beam
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(rows, p, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(rows, p, d)).astype(np.float32))
+    anc = jnp.asarray(rng.integers(0, beam, size=(b, beam, p)), jnp.int32)
+    valid = np.zeros((rows, p), bool)
+    valid[:, :6] = True
+    k_new = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    v_new = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
+    bias = ancestry_bias(anc, jnp.asarray(valid), p)
+
+    full, fk, fv = ancestry_attention_update(
+        q, k, v, k_new, v_new, bias, 5, beam=beam, n_heads=h,
+        interpret=True)
+    live = 20  # covers blocks 0 (items 0-15) and 1 (items 16-31): all live
+    out, k2, v2 = ancestry_attention_update(
+        q, k, v, k_new, v_new, bias, 5, beam=beam, n_heads=h,
+        interpret=True, live_items=jnp.int32(live))
+    # block_items=16 -> ceil(20/16)=2 blocks live of 2: identical run
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=1e-5)
+
+    live = 10  # only block 0 live
+    out, k2, v2 = ancestry_attention_update(
+        q, k, v, k_new, v_new, bias, 5, beam=beam, n_heads=h,
+        interpret=True, live_items=jnp.int32(live))
+    lr = 16 * beam  # rows of block 0
+    np.testing.assert_allclose(np.asarray(out)[:lr],
+                               np.asarray(full)[:lr], atol=1e-5)
+    # live block's caches got the pos-5 write; dead block's did not
+    np.testing.assert_allclose(np.asarray(k2)[:lr, 5],
+                               np.asarray(k_new)[:lr], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k2)[lr:], np.asarray(k)[lr:])
+    np.testing.assert_array_equal(np.asarray(v2)[lr:], np.asarray(v)[lr:])
+
+
+def test_compaction_state_roundtrip():
+    # _compact_state partitions all-ended items to the tail and
+    # _finalize_compaction restores caller order
+    from deephumor_tpu.models.caption_models import CaptioningTransformerBase
+
+    b, beam, p, d = 6, 2, 8, 4
+    rng = np.random.default_rng(0)
+    ended = jnp.asarray(
+        [[True, True], [False, True], [True, True],
+         [False, False], [True, True], [False, True]])
+    state = {
+        "cache": [{
+            "k": jnp.asarray(rng.normal(size=(b * beam, p, d)),
+                             jnp.float32),
+            "v": jnp.asarray(rng.normal(size=(b * beam, p, d)),
+                             jnp.float32),
+        }],
+        "valid": jnp.asarray(rng.integers(0, 2, size=(b * beam, p)), bool),
+        "pos": jnp.full((b * beam,), 3, jnp.int32),
+        "anc": jnp.asarray(rng.integers(0, beam, size=(b, beam, p)),
+                           jnp.int32),
+        "cross": [{"ek": jnp.asarray(rng.normal(size=(b, 3, d)),
+                                     jnp.float32),
+                   "ev": jnp.asarray(rng.normal(size=(b, 3, d)),
+                                     jnp.float32)}],
+        "enc_key_mask": jnp.asarray(rng.integers(0, 2, size=(b, 3)), bool),
+        "live": jnp.int32(b),
+        "item_perm": jnp.arange(b, dtype=jnp.int32),
+    }
+    seq = jnp.asarray(rng.integers(0, 9, size=(b, beam, 5)), jnp.int32)
+    val = jnp.asarray(rng.normal(size=(b, beam)), jnp.float32)
+
+    cs, cseq, cval, cended = CaptioningTransformerBase._compact_state(
+        state, seq, val, ended)
+    # live items 1, 3, 5 lead (stable); dead 0, 2, 4 trail
+    np.testing.assert_array_equal(np.asarray(cs["item_perm"]),
+                                  [1, 3, 5, 0, 2, 4])
+    assert int(cs["live"]) == 3
+    assert not np.asarray(cended)[:3].all(axis=1).any()
+    np.testing.assert_array_equal(
+        np.asarray(cs["cache"][0]["k"]).reshape(b, beam, p, d)[0],
+        np.asarray(state["cache"][0]["k"]).reshape(b, beam, p, d)[1])
+    np.testing.assert_array_equal(np.asarray(cs["cross"][0]["ek"])[2],
+                                  np.asarray(state["cross"][0]["ek"])[5])
+    # finalize restores the original order
+    out = {"chosen": cseq[:, 0], "scores": cval}
+    fixed = CaptioningTransformerBase._finalize_compaction(cs, out)
+    np.testing.assert_array_equal(np.asarray(fixed["chosen"]),
+                                  np.asarray(seq[:, 0]))
+    np.testing.assert_array_equal(np.asarray(fixed["scores"]),
+                                  np.asarray(val))
+
+
+def test_generation_compaction_greedy_equality():
+    # compact=True must not change results (greedy is draw-for-draw
+    # permutation invariant; here no item ends, so the permutation is the
+    # identity and the full wiring — live counts in state, consts carried
+    # in the loop, finalize — still runs)
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=64, hid_dim=32, n_layers=2, n_heads=2, pf_dim=64,
+        max_len=20,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    spa = jnp.asarray(rng.normal(size=(8, 49, 32)).astype(np.float32))
+    outs = {}
+    for compact in (False, True):
+        out = model.generate_from_emb(
+            params, (emb, spa), key=jax.random.PRNGKey(7), max_len=18,
+            beam_size=4, top_k=8, greedy=True, attn="pallas_interpret",
+            compact=compact)
+        outs[compact] = out
+    np.testing.assert_array_equal(np.asarray(outs[False]["chosen"]),
+                                  np.asarray(outs[True]["chosen"]))
+    np.testing.assert_allclose(np.asarray(outs[False]["scores"]),
+                               np.asarray(outs[True]["scores"]),
+                               atol=1e-5)
