@@ -559,17 +559,23 @@ class CaptioningTransformerBase:
         )
 
     @staticmethod
-    def _compact_state(state, seq, val, ended):
+    def _compact_state(state, seq, val, ended, prefix_positions=None):
         """Early-EOS row compaction (applied at static phase boundaries):
         stable-partitions items so every all-beams-ended item moves to the
         batch tail, then records the shrunken live count. The pallas
-        decode kernels clamp their grids to the live prefix, so dead
-        items stop costing cache DMA and compute. Results are identical
-        to the uncompacted run (ended branches only ever append pads at
-        score 0; the final outputs are permuted back by
+        decode kernels size their grids to the live prefix (dynamic
+        grid), so dead items stop costing cache DMA and compute. Results
+        are identical to the uncompacted run (ended branches only ever
+        append pads at score 0; the final outputs are permuted back by
         ``_finalize_compaction``). Reference behavior anchor: the
         all-ended early exit at rnn_models.py:131-132 — this is its
-        per-item form."""
+        per-item form.
+
+        ``prefix_positions``: static bound on written cache positions
+        (the finished phase's p_eff). Cache positions beyond it are still
+        their initial zeros — permutation-invariant — so the gather reads
+        only the prefix and pads the tail with fresh zeros.
+        """
         num_items, beam = ended.shape
         dead = jnp.all(ended, axis=1)
         order = jnp.argsort(dead, stable=True).astype(jnp.int32)
@@ -585,10 +591,18 @@ class CaptioningTransformerBase:
         def take_rows(x):
             return jnp.take(x, flat, axis=0)
 
+        def take_cache(x):
+            p = x.shape[1]
+            if prefix_positions is None or prefix_positions >= p:
+                return take_rows(x)
+            pref = jnp.take(x[:, :prefix_positions], flat, axis=0)
+            return jnp.pad(
+                pref, ((0, 0), (0, p - prefix_positions), (0, 0)))
+
         new_state = dict(
             state,
             cache=[
-                {"k": take_rows(l["k"]), "v": take_rows(l["v"])}
+                {"k": take_cache(l["k"]), "v": take_cache(l["v"])}
                 for l in state["cache"]
             ],
             valid=take_rows(state["valid"]),
@@ -636,19 +650,20 @@ class CaptioningTransformerBase:
             jnp.arange(beam_size, dtype=jnp.int32)[None, :, None],
             (num_items, beam_size, max_positions),
         )
-        # early-EOS row compaction: at each phase boundary all-ended items
-        # are partitioned to the batch tail and the pallas kernels clamp
-        # to the live prefix. MEASURED (round 2, V=29k, batch 896,
-        # EOS-shaped logits, mean len ~14): under the reference's
-        # STOCHASTIC survivor sampling, 0/896 items ever have all beams
-        # ended — ended branches' frozen scores lose the survivor draw to
-        # the flood of live-branch candidates, so one live branch per
-        # item persists ~forever and compaction only costs its boundary
-        # permutations (~10%). Under GREEDY survivor selection the frozen
-        # ended scores dominate deterministically, items do die, and
-        # compaction pays. Default: auto-on for greedy only.
+        # early-EOS row compaction: at sparse phase boundaries all-ended
+        # items are partitioned to the batch tail and the pallas kernels
+        # size their (dynamic) grids to the live prefix. MEASURED (round
+        # 2, EOS-shaped logits): at the WORD config (32 steps) items
+        # almost never fully die under stochastic survivor sampling
+        # (0.9% — ended branches' frozen scores can't hold all beam
+        # slots within the short runway), so compaction would only cost
+        # its boundary permutation. At the CHAR config (128 steps) the
+        # frozen-score gap compounds long enough that most items DO die
+        # (85% at mean-len ~8; still high at realistic lengths), and the
+        # skip pays. Default: auto-on for long generations.
         use_compact = (
-            greedy and attn.startswith("pallas") and num_items >= 32
+            attn.startswith("pallas") and num_items >= 32
+            and (max_len - prefix_len) >= 64
             if compact is None else compact
         )
         live_fn = compactors = finalize_fn = None
@@ -683,6 +698,7 @@ class CaptioningTransformerBase:
             p_cache = -(-max_positions // 8) * 8
             steps = max_len - prefix_len
             bounds = []
+            bound_pes = []
             # phase ladder starts at 16: a pe=8 phase measured sub-noise
             # (covers ~7 early steps) and costs 6 extra kernel compiles
             for pe in range(16, p_cache, 8):
@@ -691,12 +707,28 @@ class CaptioningTransformerBase:
                     bounds.append((last_step, self._make_step(
                         params, consts, attn, p_eff=pe,
                         return_hidden=ret_hidden)))
+                    bound_pes.append(pe)
             bounds.append(
                 (steps - 1, self._make_step(
                     params, consts, attn, return_hidden=ret_hidden)))
             phases = bounds
             if use_compact:
-                compactors = [self._compact_state] * (len(bounds) - 1)
+                # SPARSE compaction points: each boundary permutation
+                # costs a prefix-limited cache gather (~10 ms at char
+                # scale — measured 37% of the whole run when applied at
+                # every boundary), so compact only at pe = 24, 48, 96,
+                # ... (first point past the early-death window, then
+                # doubling). Dead fractions accumulate early, so the
+                # sparse schedule captures nearly all the skip value.
+                compactors = []
+                last_c = 0
+                for pe in bound_pes:
+                    if pe >= 24 and pe >= 2 * last_c:
+                        compactors.append(functools.partial(
+                            self._compact_state, prefix_positions=pe))
+                        last_c = pe
+                    else:
+                        compactors.append(None)
         return beam_search(
             key,
             self._make_step(params, consts, attn,

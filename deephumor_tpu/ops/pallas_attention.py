@@ -339,7 +339,7 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
     return out.reshape(rows, d_model)
 
 
-def _kernel_native4d_update(scal_ref, q_ref, k_ref, v_ref, knew_ref,
+def _kernel_native4d_update(pos_ref, q_ref, k_ref, v_ref, knew_ref,
                             vnew_ref, bias_ref, kout_ref, vout_ref, out_ref,
                             kw_ref, vw_ref, sem_k, sem_v, *,
                             n_heads, scale, block_items):
@@ -354,102 +354,99 @@ def _kernel_native4d_update(scal_ref, q_ref, k_ref, v_ref, knew_ref,
     the 8-position tile containing ``pos`` back to HBM (~1.1 MB of
     writes per cache instead of a 38 MB copy).
 
-    ``scal_ref`` (scalar prefetch): [0] = decode position, [1] = number
-    of LIVE item blocks. Blocks past the live count skip all compute and
-    (via the clamped index maps) all input DMA — the engine's early-EOS
-    row compaction keeps live items in a leading prefix, so cache bytes
-    track live beams instead of the launch batch.
+    Early-EOS compaction enters as a DYNAMIC GRID, not in-kernel logic:
+    the wrapper sizes the grid to the live block count, so dead blocks
+    never iterate — no DMA, no compute (clamped index maps + pl.when
+    were measured to skip compute only; Pallas still fetched every
+    block's cache bytes).
     """
-    pos = scal_ref[0]
+    pos = pos_ref[0]
     grid_i = pl.program_id(0)
+    bi, beam, pe, d_model = k_ref.shape
+    head_dim = d_model // n_heads
+    inv_scale = 1.0 / scale
 
-    @pl.when(grid_i < scal_ref[1])
-    def _live_block():
-        bi, beam, pe, d_model = k_ref.shape
-        head_dim = d_model // n_heads
-        inv_scale = 1.0 / scale
+    # start the writeback tile staging IMMEDIATELY (VMEM->VMEM copy of
+    # the 8-tile containing pos — dynamic_slice of a value does not
+    # lower, so it goes through scratch); the wait is deferred until
+    # after the attention math so the copy hides behind compute (the
+    # up-front wait cost ~0.05 ms/layer — benchmarks/attn_v3.py)
+    tile = pl.multiple_of((pos // 8) * 8, 8)
+    row0 = grid_i * block_items
+    dk_in = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :],
+                                  kw_ref, sem_k)
+    dv_in = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :],
+                                  vw_ref, sem_v)
+    dk_in.start()
+    dv_in.start()
 
-        # start the writeback tile staging IMMEDIATELY (VMEM->VMEM copy of
-        # the 8-tile containing pos — dynamic_slice of a value does not
-        # lower, so it goes through scratch); the wait is deferred until
-        # after the attention math so the copy hides behind compute (the
-        # up-front wait cost ~0.05 ms/layer — benchmarks/attn_v3.py)
-        tile = pl.multiple_of((pos // 8) * 8, 8)
-        row0 = grid_i * block_items
-        dk_in = pltpu.make_async_copy(k_ref.at[:, :, pl.ds(tile, 8), :],
-                                      kw_ref, sem_k)
-        dv_in = pltpu.make_async_copy(v_ref.at[:, :, pl.ds(tile, 8), :],
-                                      vw_ref, sem_v)
-        dk_in.start()
-        dv_in.start()
+    # substitute the fresh column into the streamed blocks. The
+    # predicate is a [.., P, 1] iota broadcast across lanes (a
+    # full-shape iota adds two more VPU passes over cache-sized blocks)
+    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, 1), 2) == pos
+    kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
+    vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
 
-        # substitute the fresh column into the streamed blocks. The
-        # predicate is a [.., P, 1] iota broadcast across lanes (a
-        # full-shape iota adds two more VPU passes over cache-sized blocks)
-        sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, pe, 1), 2) == pos
-        kb = jnp.where(sel, knew_ref[:].astype(k_ref.dtype), k_ref[:])
-        vb = jnp.where(sel, vnew_ref[:].astype(v_ref.dtype), v_ref[:])
+    # merge (slot, position) INSIDE the kernel (the round-2 notes
+    # record this reshape as impossible — Mosaic now lowers it) and
+    # fold ALL heads into a single QK and a single AV dot per block
+    # with block-diagonal masked queries: row (h, j) of q_all carries
+    # branch j's query masked to head h's 64 lanes, so contracting the
+    # FULL d_model yields exactly head h's energies (other heads'
+    # lanes contribute 0). 8x the MACs of the useful computation, but
+    # 2 MXU issues per block instead of 16 skinny ones: 0.302
+    # (slot-loop) -> 0.270 (per-head flat) -> 0.232 ms/layer
+    # (benchmarks/attn_v4.py).
+    kb2 = kb.reshape(bi, beam * pe, d_model)
+    vb2 = vb.reshape(bi, beam * pe, d_model)
+    bias = bias_ref[:]                           # [bi, beam, beam*Pe]
 
-        # merge (slot, position) INSIDE the kernel (the round-2 notes
-        # record this reshape as impossible — Mosaic now lowers it) and
-        # fold ALL heads into a single QK and a single AV dot per block
-        # with block-diagonal masked queries: row (h, j) of q_all carries
-        # branch j's query masked to head h's 64 lanes, so contracting the
-        # FULL d_model yields exactly head h's energies (other heads'
-        # lanes contribute 0). 8x the MACs of the useful computation, but
-        # 2 MXU issues per block instead of 16 skinny ones: 0.302
-        # (slot-loop) -> 0.270 (per-head flat) -> 0.232 ms/layer
-        # (benchmarks/attn_v4.py).
-        kb2 = kb.reshape(bi, beam * pe, d_model)
-        vb2 = vb.reshape(bi, beam * pe, d_model)
-        bias = bias_ref[:]                           # [bi, beam, beam*Pe]
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
+        q_ref.dtype)
 
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, (bi, n_heads * beam, d_model), 2)
-        hrow = jax.lax.broadcasted_iota(
-            jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
-        qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
-        q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
-            q_ref.dtype)
+    e = jax.lax.dot_general(
+        q_all, kb2,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale                                # [bi, H*beam, beam*Pe]
+    e = e + jnp.concatenate([bias] * n_heads, axis=1)
+    attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
 
-        e = jax.lax.dot_general(
-            q_all, kb2,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * inv_scale                                # [bi, H*beam, beam*Pe]
-        e = e + jnp.concatenate([bias] * n_heads, axis=1)
-        attn = jax.nn.softmax(e, axis=-1).astype(vb2.dtype)
+    out_all = jax.lax.dot_general(
+        attn, vb2,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                            # [bi, H*beam, D]
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        out_ref[:, :, sl] = out_all[
+            :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
 
-        out_all = jax.lax.dot_general(
-            attn, vb2,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                            # [bi, H*beam, D]
-        for h in range(n_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            out_ref[:, :, sl] = out_all[
-                :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
-
-        # writeback: wait the staged tiles, insert the fresh column, DMA
-        # the tiles back in place (caches aliased input->output)
-        dk_in.wait()
-        dv_in.wait()
-        sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
-                                        2) == pos % 8
-        kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype),
-                              kw_ref[:])
-        vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype),
-                              vw_ref[:])
-        dk_out = pltpu.make_async_copy(
-            kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
-            sem_k)
-        dv_out = pltpu.make_async_copy(
-            vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
-            sem_v)
-        dk_out.start()
-        dv_out.start()
-        dk_out.wait()
-        dv_out.wait()
+    # writeback: wait the staged tiles, insert the fresh column, DMA
+    # the tiles back in place (caches aliased input->output)
+    dk_in.wait()
+    dv_in.wait()
+    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
+                                    2) == pos % 8
+    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype),
+                          kw_ref[:])
+    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype),
+                          vw_ref[:])
+    dk_out = pltpu.make_async_copy(
+        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
+        sem_k)
+    dv_out = pltpu.make_async_copy(
+        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile, 8), :],
+        sem_v)
+    dk_out.start()
+    dv_out.start()
+    dk_out.wait()
+    dv_out.wait()
 
 
 @functools.partial(
@@ -527,57 +524,23 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
 
     n_blocks = num_items // block_items
     if live_items is None:
-        nlive = jnp.int32(n_blocks)
+        # static grid — identical executable to the no-compaction path
+        grid = (n_blocks,)
     else:
-        # ceil-div, clamped to [1, n_blocks] (index maps subtract 1)
+        # DYNAMIC grid: only live item blocks iterate. Dead blocks (a
+        # compacted suffix) are never fetched or computed; their cache
+        # rows stay as-is through the input/output alias and their
+        # attention-out rows are stale garbage the engine discards.
         nlive = jnp.clip(
             (jnp.asarray(live_items, jnp.int32) + block_items - 1)
             // block_items, 1, n_blocks)
-    scal = jnp.stack([jnp.asarray(pos, jnp.int32), nlive])
-
-    def clamped3(i, s):
-        return (jnp.minimum(i, s[1] - 1), 0, 0)
-
-    def clamped4(i, s):
-        return (jnp.minimum(i, s[1] - 1), 0, 0, 0)
+        grid = (nlive,)
 
     kernel = functools.partial(
         _kernel_native4d_update, n_heads=n_heads, scale=scale,
         block_items=block_items,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_items, beam, d_model), clamped3,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, beam, pe, d_model), clamped4,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, beam, pe, d_model), clamped4,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, beam, 1, d_model), clamped4,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, beam, 1, d_model), clamped4,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, beam, beam * pe), clamped3,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            # out map is NOT clamped: dead blocks flush stale VMEM rows
-            # (garbage, discarded downstream); clamping would defer the
-            # flush of the last live block
-            pl.BlockSpec((block_items, beam, d_model),
-                         lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
-            pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     if interpret:
         ctx = pltpu.force_tpu_interpret_mode()
     else:
@@ -585,62 +548,91 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     with ctx:
         kc, vc, out = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block_items, beam, d_model),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, pe, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, pe, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, 1, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, 1, d_model),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, beam, beam * pe),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((block_items, beam, d_model),
+                             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ),
             out_shape=(
                 jax.ShapeDtypeStruct(kg.shape, kg.dtype),
                 jax.ShapeDtypeStruct(vg.shape, vg.dtype),
                 jax.ShapeDtypeStruct((num_items, beam, d_model), q.dtype),
             ),
             input_output_aliases={2: 0, 3: 1},
+            scratch_shapes=[
+                pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
+                pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
             compiler_params=pltpu.CompilerParams(
                 has_side_effects=True,
                 vmem_limit_bytes=100 * 2 ** 20,
             ),
-        )(scal, qg, kg, vg, knew, vnew, bias_flat)
+        )(pos_arr, qg, kg, vg, knew, vnew, bias_flat)
     return (out.reshape(rows, d_model),
             kc.reshape(rows, p, d_model),
             vc.reshape(rows, p, d_model))
 
 
-def _kernel_cross(scal_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *,
+def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
                   n_heads, scale):
     # grouped single-step cross-attention: beam rows share their item's
     # encoder K/V (transformer._grouped_attention). Same all-heads
     # block-diagonal-masked-query trick as the self-attention kernel:
     # ONE QK dot and ONE AV dot per block over the full d_model
-    # contraction instead of 2 skinny dots per head.
-    # scal_ref[0] = number of live item blocks (dead blocks skip compute;
-    # their input DMA is skipped by the clamped index maps).
-    @pl.when(pl.program_id(0) < scal_ref[0])
-    def _live_block():
-        inv_scale = 1.0 / scale
-        _, r, d_model = q_ref.shape
-        bi = q_ref.shape[0]
-        head_dim = d_model // n_heads
+    # contraction instead of 2 skinny dots per head. Early-EOS
+    # compaction: the wrapper sizes the grid to the live block count.
+    inv_scale = 1.0 / scale
+    _, r, d_model = q_ref.shape
+    bi = q_ref.shape[0]
+    head_dim = d_model // n_heads
 
-        lane = jax.lax.broadcasted_iota(
-            jnp.int32, (bi, n_heads * r, d_model), 2)
-        hrow = jax.lax.broadcasted_iota(
-            jnp.int32, (bi, n_heads * r, d_model), 1) // r
-        qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
-        q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
-            q_ref.dtype)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * r, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * r, d_model), 1) // r
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(
+        q_ref.dtype)
 
-        e = jax.lax.dot_general(
-            q_all, k_ref[:],
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * inv_scale + bias_ref[:]               # [bi, H*r, T] (+ [bi,1,T])
-        attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
-        out_all = jax.lax.dot_general(
-            attn, v_ref[:],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                         # [bi, H*r, D]
-        for h in range(n_heads):
-            sl = slice(h * head_dim, (h + 1) * head_dim)
-            out_ref[:, :, sl] = out_all[:, h * r:(h + 1) * r, sl].astype(
-                out_ref.dtype)
+    e = jax.lax.dot_general(
+        q_all, k_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale + bias_ref[:]               # [bi, H*r, T] (+ [bi,1,T])
+    attn = jax.nn.softmax(e, axis=-1).astype(v_ref.dtype)
+    out_all = jax.lax.dot_general(
+        attn, v_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                         # [bi, H*r, D]
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        out_ref[:, :, sl] = out_all[:, h * r:(h + 1) * r, sl].astype(
+            out_ref.dtype)
 
 
 @functools.partial(
@@ -682,34 +674,16 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
 
     n_blocks = g // block_items
     if live_items is None:
-        nlive = jnp.int32(n_blocks)
+        grid = (n_blocks,)
     else:
+        # dynamic grid: dead (compacted-suffix) groups never iterate
         nlive = jnp.clip(
             (jnp.asarray(live_items, jnp.int32) + block_items - 1)
             // block_items, 1, n_blocks)
-
-    def clamped(i, s):
-        return (jnp.minimum(i, s[0] - 1), 0, 0)
+        grid = (nlive,)
 
     qg = q.reshape(g, r, d_model)
     kernel = functools.partial(_kernel_cross, n_heads=n_heads, scale=scale)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_items, r, d_model), clamped,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, t, d_model), clamped,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, t, d_model), clamped,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_items, 1, t), clamped,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_items, r, d_model),
-                               lambda i, s: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
 
     if interpret:
         ctx = pltpu.force_tpu_interpret_mode()
@@ -718,9 +692,22 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
     with ctx:
         out = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_items, r, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_items, 1, t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_items, r, d_model),
+                                   lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((g, r, d_model), q.dtype),
-        )(nlive.reshape(1), qg, ek, ev, bias)
+        )(qg, ek, ev, bias)
     return out.reshape(rows, d_model)
 
 

@@ -63,7 +63,7 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, *,
                  vocab=vocab)
 
 
-def _kernel_fused_classifier(scal_ref, invt_ref, x_ref, w_ref, b_ref,
+def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
                              ids_ref, vals_ref, *, top_k, num_draws,
                              unk_index, vocab):
     """Classifier matmul + sampler in ONE kernel: the [rows, V] logits
@@ -71,23 +71,18 @@ def _kernel_fused_classifier(scal_ref, invt_ref, x_ref, w_ref, b_ref,
     the draw (~150 MB/step at serving batch). The fresh logits are
     rounded to bf16 so the draw is numerically identical to the separate
     bf16-classifier + sampler path (and the threshold search keeps its
-    16-bit length).
-
-    ``scal_ref`` (scalar prefetch): [0] = PRNG seed, [1] = number of live
-    row blocks — blocks past it skip the draw entirely (and, via the
-    clamped x index map, the hidden-state DMA); their output rows are
-    stale garbage that the engine's ended-branch masking discards."""
-    @pl.when(pl.program_id(0) < scal_ref[1])
-    def _live_block():
-        pltpu.prng_seed(scal_ref[0] + pl.program_id(0))
-        logits = jax.lax.dot_general(
-            x_ref[:], w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b_ref[:]
-        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-        _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
-                     num_draws=num_draws, unk_index=unk_index, vocab=vocab)
+    16-bit length). Early-EOS compaction: the wrapper sizes the grid to
+    the live row-block count; dead blocks never run (their stale output
+    rows are discarded by the engine's ended-branch masking)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:]
+    logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+    _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
+                 num_draws=num_draws, unk_index=unk_index, vocab=vocab)
 
 
 def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
@@ -276,42 +271,40 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
 
     n_blocks = padded_rows // block
     if live_rows is None:
-        nlive = jnp.int32(n_blocks)
+        grid = (n_blocks,)
     else:
+        # dynamic grid: dead (compacted-suffix) row blocks never run
         nlive = jnp.clip(
             (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
             1, n_blocks)
-    scal = jnp.stack([jnp.asarray(seed, jnp.int32), nlive])
+        grid = (nlive,)
 
     kernel = functools.partial(
         _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
         unk_index=unk_index, vocab=vocab,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, d), lambda i, s: (jnp.minimum(i, s[1] - 1), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, vocab), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vocab), lambda i, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, out_cols), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, out_cols), lambda i, s: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
     )
     ctx = (pltpu.force_tpu_interpret_mode() if interpret
            else contextlib.nullcontext())
     with ctx:
         ids, vals = pl.pallas_call(
             kernel,
-            grid_spec=grid_spec,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, d), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, vocab), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, vocab), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             out_shape=[
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
@@ -320,7 +313,7 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
                 vmem_limit_bytes=100 * 2 ** 20,
             ),
         )(
-            scal,
+            jnp.asarray(seed, jnp.int32).reshape(1),
             jnp.asarray(inv_temperature, jnp.float32).reshape(1),
             # one dtype for the in-kernel dot (mixed f32 x bf16 operands
             # do not lower); the product is rounded to bf16 regardless
