@@ -1,0 +1,207 @@
+"""Per-component ledger of the CHAR serving config (real chip).
+
+Times, amortized inside jitted fori_loops (axon dispatch is ~25 ms, so
+per-call timing lies — see attn_microbench.py):
+
+  1. decoder step_fn at the cache TIP (pos=120, full read budget),
+     full-width vs canon (+ids) vs canon (no ids),
+  2. decoder step_fn mid-run (pos=60, p_eff=72), same three ways,
+  3. the beam engine WITHOUT the decoder: a fake step returns a
+     precomputed hidden state, so the loop measures sampler + survivor
+     bookkeeping + sequence/ancestry updates only,
+  4. boundary costs: one _canonicalize_state and one _compact_state call
+     at the full char shape (multiply by ~16 boundaries / ~5 points).
+
+Run: python -m benchmarks.char_ledger
+"""
+
+import functools
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deephumor_tpu.models import CaptioningTransformer
+from deephumor_tpu.models.caption_models import _tile_tree
+
+VOCAB, LEN, BEAM, TOPK, BATCH = 128, 128, 7, 50, 256
+HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
+ROWS = BATCH * BEAM
+ITERS = 100
+
+
+def amortized(loop, *args, iters=ITERS):
+    out = loop(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    t0 = time.perf_counter()
+    out = loop(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+    return (time.perf_counter() - t0) / iters
+
+
+def step_loop(step, state, tokens):
+    @jax.jit
+    def loop(state, tokens):
+        def body(_, carry):
+            st, tok = carry
+            logits, st2 = step(st, tok)
+            st2 = dict(st2, pos=st["pos"])  # hold position fixed
+            return (st2, tok)
+        return jax.lax.fori_loop(0, ITERS, body, (state, tokens))
+    return amortized(loop, state, tokens)
+
+
+def main():
+    model = CaptioningTransformer(
+        num_tokens=VOCAB, hid_dim=HID, n_layers=LAYERS, n_heads=HEADS,
+        pf_dim=PF, max_len=LEN + 2, compute_dtype="bfloat16")
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    start = jnp.asarray(rng.normal(size=(BATCH, HID)).astype(np.float32))
+    spatial = jnp.asarray(
+        rng.normal(size=(BATCH, 49, HID)).astype(np.float32))
+
+    dt = jnp.bfloat16
+    cast = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, t)
+    p = cast(params)
+    enc = (start.astype(dt), spatial.astype(dt))
+    max_positions = LEN + 1
+    p_cache = -(-max_positions // 8) * 8
+    @jax.jit
+    def prefill():
+        # NOTE: must run under jit — eagerly this is hundreds of op
+        # dispatches over the axon tunnel (~25 ms each)
+        logits0, state0, consts = model._prefill_and_state(
+            p, enc, None, max_positions)
+        return logits0, _tile_tree(state0, BEAM), consts
+
+    logits0, state0, consts = prefill()
+
+    tokens = jnp.asarray(rng.integers(6, VOCAB, size=(ROWS,)), jnp.int32)
+
+    def at_pos(pos, c):
+        """State at decode position ``pos`` with ancestry coalesced
+        below ``c`` (random beyond), all branches live."""
+        st = dict(state0)
+        path = rng.integers(0, BEAM, size=(BATCH, 1, max_positions))
+        anc = np.broadcast_to(path, (BATCH, BEAM, max_positions)).copy()
+        anc[:, :, c:] = rng.integers(
+            0, BEAM, size=(BATCH, BEAM, max_positions - c))
+        st["anc"] = jnp.asarray(anc, jnp.int32)
+        valid = np.zeros((ROWS, max_positions), bool)
+        valid[:, :pos] = True
+        st["valid"] = jnp.asarray(valid)
+        st["pos"] = jnp.full((ROWS,), pos, jnp.int32)
+        return st
+
+    results = {}
+
+    def bench_step(name, pos, pe, c, canon, no_ids=False):
+        st = at_pos(pos, c if canon else 8)
+        if canon:
+            @jax.jit
+            def _canon(st):
+                ended = jnp.zeros((BATCH, BEAM), bool)
+                s2, _, _, _ = model._canonicalize_state(
+                    st, None, None, ended, c=c)
+                return s2
+            st = _canon(st)
+        if no_ids:
+            os.environ["DH_CANON_NO_IDS"] = "1"
+        try:
+            step = model._make_step(
+                p, consts, "pallas", p_eff=pe, return_hidden=True,
+                canon_c=c if canon else None)
+            t = step_loop(step, st, tokens)
+        finally:
+            os.environ.pop("DH_CANON_NO_IDS", None)
+        results[name] = t
+        print(f"{name:44s} {t*1e3:7.3f} ms", flush=True)
+
+    bench_step("step tip (pos=120, pe=136) full-width", 120, None, 112,
+               False)
+    bench_step("step tip canon c=112 (+ids)", 120, None, 112, True)
+    bench_step("step tip canon c=112 (no ids)", 120, None, 112, True,
+               no_ids=True)
+    bench_step("step mid (pos=60, pe=72) full-width", 60, 72, 48, False)
+    bench_step("step mid canon c=48 (+ids)", 60, 72, 48, True)
+    bench_step("step mid canon c=48 (no ids)", 60, 72, 48, True,
+               no_ids=True)
+
+    # ---- engine-without-decoder ----
+    from deephumor_tpu.models.sampling import beam_search
+    hidden = jnp.asarray(rng.normal(size=(ROWS, HID)), dt)
+    st = at_pos(1, 8)
+    st["live"] = jnp.int32(BATCH)
+    st["item_perm"] = jnp.arange(BATCH, dtype=jnp.int32)
+
+    def fake_step(state, tok):
+        return hidden * state["pos"][0].astype(dt), dict(
+            state, pos=state["pos"] + 1)
+
+    cls = params["decoder"]["classifier"]
+    classifier = (cast(cls["kernel"]), cast(cls["bias"]))
+
+    @jax.jit
+    def engine(key):
+        return beam_search(
+            key, fake_step, st, logits0, beam_size=BEAM, top_k=TOPK,
+            temperature=1.1, max_len=LEN, sampler="pallas",
+            shuffle_fn=model._shuffle_state, classifier=classifier,
+            live_fn=lambda s: s.get("live"))
+
+    out = engine(jax.random.PRNGKey(1))
+    np.asarray(out["chosen"])
+    t0 = time.perf_counter()
+    out = engine(jax.random.PRNGKey(2))
+    np.asarray(out["chosen"])
+    t_eng = (time.perf_counter() - t0) / (LEN - 1)
+    print(f"{'engine w/o decoder (sampler+bookkeeping)':44s} "
+          f"{t_eng*1e3:7.3f} ms/step", flush=True)
+
+    # ---- boundary costs ----
+    st = at_pos(60, 48)
+    ended = jnp.zeros((BATCH, BEAM), bool)
+    seq = jnp.zeros((BATCH, BEAM, LEN), jnp.int32)
+    val = jnp.zeros((BATCH, BEAM), jnp.float32)
+
+    @jax.jit
+    def canonize(st):
+        s2, _, _, _ = model._canonicalize_state(st, seq, val, ended, c=48)
+        return s2["shared"][0]["sk"]
+
+    @jax.jit
+    def compact(st):
+        st = dict(st, live=jnp.int32(BATCH),
+                  item_perm=jnp.arange(BATCH, dtype=jnp.int32),
+                  cross=consts["cross"],
+                  enc_key_mask=consts["enc_key_mask"])
+        s2, _, _, _ = model._compact_state(
+            st, seq, val, ended, prefix_positions=64)
+        return s2["cache"][0]["k"]
+
+    for name, fn in (("canonicalize boundary (c=48)", canonize),
+                     ("compaction boundary (pe=64)", compact)):
+        out = fn(st)
+        np.asarray(out).ravel()[0]
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn(st)
+        np.asarray(out).ravel()[0]
+        print(f"{name:44s} {(time.perf_counter()-t0)/5*1e3:7.3f} ms",
+              flush=True)
+
+    # ---- summary ----
+    full = results["step tip (pos=120, pe=136) full-width"]
+    canon = results["step tip canon c=112 (+ids)"]
+    print(f"\ntip step speedup canon/full: {full/canon:.2f}x; engine "
+          f"residual {t_eng*1e3:.3f} ms/step rides every config")
+
+
+if __name__ == "__main__":
+    main()

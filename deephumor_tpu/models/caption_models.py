@@ -37,6 +37,7 @@ single candidate. This engine gathers survivor states correctly.
 import dataclasses
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -99,7 +100,7 @@ def _default_attn_impl(num_items=None):
 @functools.lru_cache(maxsize=256)
 def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
                        top_k, greedy, eos_index, sampler="exact",
-                       attn="xla", compact=None):
+                       attn="xla", compact=None, canon=None):
     """One compiled end-to-end generation program per (model hyperparams,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
@@ -115,6 +116,8 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
         else:
             enc = x
         kw = {} if compact is None else {"compact": compact}
+        if canon is not None:
+            kw["canon"] = canon
         return model._generate_impl(
             params, enc, key, caption, temperature,
             max_len=max_len, beam_size=beam_size, top_k=top_k,
@@ -229,9 +232,9 @@ class CaptioningLSTM:
     def _generate_impl(self, params, emb, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
                        prefix_len, sampler="exact", attn="xla",
-                       compact=None):
+                       compact=None, canon=None):
         del attn  # recurrent state shuffles directly; no ancestry caches
-        del compact  # no phase boundaries (single scan, no KV caches)
+        del compact, canon  # no phase boundaries (single scan, no caches)
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -504,7 +507,7 @@ class CaptioningTransformerBase:
         return logits, state, None
 
     def _make_step(self, params, consts=None, attn="xla", p_eff=None,
-                   return_hidden=False):
+                   return_hidden=False, canon_c=None):
         scale = math.sqrt(self.hid_dim)
 
         def step(state, tokens):
@@ -523,6 +526,18 @@ class CaptioningTransformerBase:
             enc_key_mask = state.get(
                 "enc_key_mask",
                 None if consts is None else consts["enc_key_mask"])
+            canon = None
+            if canon_c is not None:
+                # canonical-prefix bundle from the preceding phase
+                # boundary (_canonicalize_state); c is STATIC per phase
+                canon = {
+                    "c": canon_c,
+                    "shared": state["shared"],
+                    "bias_sh": state["bias_sh"],
+                    "strag_ids": state["strag_ids"],
+                    "n_strag": state["n_strag"],
+                    "strag_rows": state["strag_rows"],
+                }
             emb = L.embed(params["decoder"]["tok_embedding"], tokens) / scale
             logits, cache = tfm.decode_step(
                 params["decoder"], emb, pos, state["cache"], valid,
@@ -530,7 +545,7 @@ class CaptioningTransformerBase:
                 cross=cross, enc_key_mask=enc_key_mask,
                 anc=anc, attn_impl=attn, p_eff=p_eff,
                 return_hidden=return_hidden,
-                live_items=state.get("live"),
+                live_items=state.get("live"), canon=canon,
             )
             return logits, dict(
                 state,
@@ -628,10 +643,76 @@ class CaptioningTransformerBase:
         inv = jnp.argsort(state["item_perm"])
         return {k: jnp.take(v, inv, axis=0) for k, v in out.items()}
 
+    @staticmethod
+    def _canonicalize_state(state, seq, val, ended, *, c):
+        """Phase-boundary setup for the canonical-prefix attention path.
+
+        Beam ancestries coalesce genealogically under survivor sampling
+        (measured: only ~16-19% of streamed per-slot cache entries are
+        reachable by any live branch at the char config). For every item
+        whose LIVE branches all agree on their ancestry below ``c``, this
+        gathers the unique ancestor path once into a per-layer ``shared``
+        cache ([B, c, D]) so the decode kernel streams ONE row per
+        coalesced position instead of ``beam`` slots
+        (ops/pallas_attention.ancestry_attention_update_canon).
+        Disagreeing items (stragglers) are listed in ``strag_ids`` and
+        recomputed full-width by ancestry_attention_ids — no permutation
+        of the caches, the id list is the indirection. Coalescence below
+        ``c`` persists for the rest of the decode (survivors inherit live
+        ancestries; ended branches' outputs are discarded), so one gather
+        per boundary is exact for the whole phase.
+        """
+        anc = state["anc"]
+        num_items, beam, _ = anc.shape
+        live_b = ~ended                                       # [B, beam]
+        first_live = jnp.argmax(live_b, axis=1).astype(jnp.int32)
+        path = jnp.take_along_axis(
+            anc[:, :, :c], first_live[:, None, None], axis=1)[:, 0]
+        agree = jnp.all(
+            (anc[:, :, :c] == path[:, None, :]) | ~live_b[:, :, None],
+            axis=(1, 2))
+        is_strag = jnp.any(live_b, axis=1) & ~agree
+        # stragglers first; argsort(stable) keeps item order inside the
+        # two groups so repeated boundaries produce stable id lists
+        strag_ids = jnp.argsort(~is_strag, stable=True).astype(jnp.int32)
+        n_strag = jnp.sum(is_strag).astype(jnp.int32)
+
+        if os.environ.get("DH_DEBUG_CANON"):  # boundary diagnostics
+            jax.debug.print("canon c={c}: stragglers {n}/{b}",
+                            c=c, n=n_strag, b=num_items)
+        rowsel = (jnp.arange(num_items, dtype=jnp.int32)[:, None] * beam
+                  + path)                                     # [B, c]
+        possel = jnp.arange(c, dtype=jnp.int32)[None, :]
+
+        def gather(x):
+            return x[rowsel, possel]                          # [B, c, D]
+
+        shared = [{"sk": gather(l["k"]), "sv": gather(l["v"])}
+                  for l in state["cache"]]
+        validr = state["valid"].reshape(num_items, beam, -1)
+        sval = jnp.take_along_axis(
+            validr[:, :, :c], first_live[:, None, None], axis=1)[:, 0]
+        bias_sh = jnp.where(sval, 0.0, -1e8)[:, None, :].astype(
+            jnp.float32)
+        new_state = dict(
+            state, shared=shared, bias_sh=bias_sh, strag_ids=strag_ids,
+            n_strag=n_strag, strag_rows=jnp.repeat(is_strag, beam),
+        )
+        return new_state, seq, val, ended
+
+    @staticmethod
+    def _chain_boundaries(fns):
+        def run(state, seq, val, ended):
+            for fn in fns:
+                state, seq, val, ended = fn(state, seq, val, ended)
+            return state, seq, val, ended
+
+        return run
+
     def _generate_impl(self, params, enc, key, caption, temperature, *,
                        max_len, beam_size, top_k, greedy, eos_index,
                        prefix_len, sampler="exact", attn="xla",
-                       compact=None):
+                       compact=None, canon=None):
         if self.compute_dtype != "float32":
             dt = jnp.dtype(self.compute_dtype)
             params = _cast_floats(params, dt)
@@ -694,25 +775,44 @@ class CaptioningTransformerBase:
             classifier = (cls["kernel"], cls["bias"])
             ret_hidden = True
         phases = None
+        # canonical-prefix attention (shared-ancestor cache below c; see
+        # _canonicalize_state): kicks in per-phase once the read budget
+        # is big enough for a c >= 24 prefix, so short word-config runs
+        # never pay for it. compact=False also disables it (both ride
+        # the same boundary machinery); attn must be a pallas impl.
+        use_canon = (
+            attn.startswith("pallas")
+            if canon is None else canon and attn.startswith("pallas"))
         if attn.startswith("pallas"):
             p_cache = -(-max_positions // 8) * 8
             steps = max_len - prefix_len
-            bounds = []
-            bound_pes = []
             # phase ladder starts at 16: a pe=8 phase measured sub-noise
             # (covers ~7 early steps) and costs 6 extra kernel compiles
+            pes = []
             for pe in range(16, p_cache, 8):
                 last_step = pe - prefix_len - 1
                 if 1 <= last_step < steps - 1:
-                    bounds.append((last_step, self._make_step(
-                        params, consts, attn, p_eff=pe,
-                        return_hidden=ret_hidden)))
-                    bound_pes.append(pe)
+                    pes.append(pe)
+            pes.append(p_cache)
+            # phase k runs canon iff the preceding boundary could set up
+            # a canonical prefix of c = pe - 24 >= 24 (the -24 keeps the
+            # coalescence check >= 16 positions behind the write head,
+            # where ~77-100% of items fully coalesce — measured)
+            canon_cs = [None]
+            for pe in pes[1:]:
+                c = pe - 24
+                canon_cs.append(c if (use_canon and c >= 24) else None)
+            bounds = []
+            for k, pe in enumerate(pes[:-1]):
+                bounds.append((pe - prefix_len - 1, self._make_step(
+                    params, consts, attn, p_eff=pe,
+                    return_hidden=ret_hidden, canon_c=canon_cs[k])))
             bounds.append(
                 (steps - 1, self._make_step(
-                    params, consts, attn, return_hidden=ret_hidden)))
+                    params, consts, attn, return_hidden=ret_hidden,
+                    canon_c=canon_cs[-1])))
             phases = bounds
-            if use_compact:
+            if use_compact or any(c is not None for c in canon_cs):
                 # SPARSE compaction points: each boundary permutation
                 # costs a prefix-limited cache gather (~10 ms at char
                 # scale — measured 37% of the whole run when applied at
@@ -720,15 +820,23 @@ class CaptioningTransformerBase:
                 # ... (first point past the early-death window, then
                 # doubling). Dead fractions accumulate early, so the
                 # sparse schedule captures nearly all the skip value.
+                # Canonicalization runs at EVERY boundary feeding a
+                # canon phase (its gather is 1/beam of a compaction
+                # pass) and composes after compaction so its straggler
+                # id list indexes the permuted order.
                 compactors = []
                 last_c = 0
-                for pe in bound_pes:
-                    if pe >= 24 and pe >= 2 * last_c:
-                        compactors.append(functools.partial(
+                for k, pe in enumerate(pes[:-1]):
+                    fns = []
+                    if use_compact and pe >= 24 and pe >= 2 * last_c:
+                        fns.append(functools.partial(
                             self._compact_state, prefix_positions=pe))
                         last_c = pe
-                    else:
-                        compactors.append(None)
+                    if canon_cs[k + 1] is not None:
+                        fns.append(functools.partial(
+                            self._canonicalize_state, c=canon_cs[k + 1]))
+                    compactors.append(
+                        self._chain_boundaries(fns) if fns else None)
         return beam_search(
             key,
             self._make_step(params, consts, attn,
@@ -748,7 +856,7 @@ class CaptioningTransformerBase:
                           max_len=25, temperature=1.0, beam_size=10,
                           top_k=50, eos_index=EOS_ID, greedy=False,
                           approx_top_k=False, sampler=None, attn=None,
-                          compact=None):
+                          compact=None, canon=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
@@ -761,14 +869,14 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, False, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler, attn, compact,
+            eos_index, sampler, attn, compact, canon,
         )
         return fn(params, enc, key, caption, temperature)
 
     def generate(self, params, images, key=None, caption=None, max_len=25,
                  temperature=1.0, beam_size=10, top_k=50,
                  eos_index=EOS_ID, greedy=False, approx_top_k=False,
-                 sampler=None, attn=None, compact=None):
+                 sampler=None, attn=None, compact=None, canon=None):
         """Batched caption generation
         (API parity: caption_models.py:280-306)."""
         if key is None:
@@ -779,7 +887,7 @@ class CaptioningTransformerBase:
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(
             self, True, prefix_len, max_len, beam_size, top_k, greedy,
-            eos_index, sampler, attn, compact,
+            eos_index, sampler, attn, compact, canon,
         )
         return fn(params, images, key, caption, temperature)
 

@@ -30,6 +30,7 @@ fixed values; the converter drops them).
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -553,7 +554,7 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 n_heads, cross=None, enc_key_mask=None, anc=None,
                 attn_impl="xla", p_eff=None, return_hidden=False,
-                live_items=None):
+                live_items=None, canon=None):
     """One incremental decode position.
 
     Args:
@@ -591,6 +592,17 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             pallas kernels' dead-block skipping (the engine's early-EOS
             compaction keeps live items leading; see
             ops/pallas_attention.ancestry_attention_update).
+        canon: optional canonical-prefix bundle (pallas path only) from
+            the engine's phase-boundary canonicalization
+            (caption_models._canonicalize_state): ``{"c": static int,
+            "shared": [{"sk","sv"} per layer], "bias_sh": [B, 1, c],
+            "strag_ids": [B] int32, "n_strag": int32,
+            "strag_rows": [bs] bool}``. Self-attention then streams ONE
+            shared row per coalesced position below ``c`` (1/beam of
+            the cache bytes) plus the per-slot window ``[c, p_eff)``;
+            straggler items are recomputed full-width via
+            ops/pallas_attention.ancestry_attention_ids and merged by
+            row mask.
 
     Returns:
         (logits ``[bs, num_tokens]``, updated cache)
@@ -608,7 +620,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             anc = jnp.pad(anc, ((0, 0), (0, 0), (0, p_cache - p_valid)))
     key_mask = ~self_key_valid
 
-    anc_onehot = anc_bias = None
+    anc_onehot = anc_bias = bias_win = None
     use_pallas_cache = False
     if anc is not None:
         if attn_impl.startswith("pallas"):
@@ -617,6 +629,14 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             anc_bias = pallas_attn.ancestry_bias(anc, self_key_valid,
                                                  p_cache)
             use_pallas_cache = True
+            if canon is not None:
+                # window-only bias for the canonical kernel (same fold,
+                # restricted to the still-diverging tip [c, p_eff))
+                c = canon["c"]
+                pe_k = p_cache if p_eff is None else min(p_eff, p_cache)
+                bias_win = pallas_attn.ancestry_bias(
+                    anc[:, :, c:pe_k], self_key_valid[:, c:pe_k],
+                    pe_k - c)
         else:
             anc_onehot = jax.nn.one_hot(anc, anc.shape[1], dtype=x.dtype)
 
@@ -644,12 +664,40 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
             # position-staged tile reads — was measured end-to-end and
             # reverted: the per-tile flash bookkeeping quintuples the
             # kernel's issue count, far more than the DMA savings.)
-            attn, cache_k, cache_v = pallas_attn.ancestry_attention_update(
-                q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
-                anc_bias, pos, beam=anc.shape[1], n_heads=n_heads,
-                interpret=(attn_impl == "pallas_interpret"), p_eff=p_eff,
-                live_items=live_items,
-            )
+            interp = attn_impl == "pallas_interpret"
+            if canon is not None:
+                # shared-prefix kernel for coalesced items (1/beam cache
+                # bytes below c) + scalar-prefetch full-width recompute
+                # of the straggler items, merged by row mask
+                attn, cache_k, cache_v = (
+                    pallas_attn.ancestry_attention_update_canon(
+                        q_new, cache[i]["k"], cache[i]["v"],
+                        canon["shared"][i]["sk"], canon["shared"][i]["sv"],
+                        k_new, v_new, canon["bias_sh"], bias_win, pos,
+                        beam=anc.shape[1], n_heads=n_heads, c=canon["c"],
+                        p_eff=(p_cache if p_eff is None else p_eff),
+                        interpret=interp, live_items=live_items,
+                    ))
+                if not os.environ.get("DH_CANON_NO_IDS"):
+                    # timing-only probe knob: skipping the straggler
+                    # recompute isolates the ids kernel's cost (outputs
+                    # for straggler rows become garbage)
+                    out_s = pallas_attn.ancestry_attention_ids(
+                        q_new, cache_k, cache_v, anc_bias,
+                        canon["strag_ids"], canon["n_strag"],
+                        beam=anc.shape[1], n_heads=n_heads, p_eff=p_eff,
+                        interpret=interp,
+                    )
+                    attn = jnp.where(canon["strag_rows"][:, None], out_s,
+                                     attn)
+            else:
+                attn, cache_k, cache_v = (
+                    pallas_attn.ancestry_attention_update(
+                        q_new, cache[i]["k"], cache[i]["v"], k_new, v_new,
+                        anc_bias, pos, beam=anc.shape[1], n_heads=n_heads,
+                        interpret=interp, p_eff=p_eff,
+                        live_items=live_items,
+                    ))
             new_cache.append({"k": cache_k, "v": cache_v})
             attn = L.linear(layer["self_attn"]["fc_o"], attn)
         else:

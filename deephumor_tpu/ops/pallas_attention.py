@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ancestry_attention", "ancestry_attention_update",
+           "ancestry_attention_update_canon", "ancestry_attention_ids",
            "ancestry_attention_update_flash", "ancestry_bias"]
 
 MASK_FILL = -1e8
@@ -277,6 +278,9 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
                 scratch_shapes=[
                     pltpu.VMEM((block_items, beam, beam, pe), jnp.float32),
                 ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 2 ** 20,
+                ),
             )(qg, kg, vg, bias4)
         return out.reshape(rows, d_model)
 
@@ -595,6 +599,393 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     return (out.reshape(rows, d_model),
             kc.reshape(rows, p, d_model),
             vc.reshape(rows, p, d_model))
+
+
+def _kernel_native4d_update_canon(pos_ref, q_ref, sk_ref, sv_ref, k_ref,
+                                  v_ref, knew_ref, vnew_ref, biassh_ref,
+                                  biaswin_ref, kout_ref, vout_ref, out_ref,
+                                  kwin_ref, vwin_ref, kw_ref, vw_ref,
+                                  sem_k, sem_v, *, n_heads,
+                                  scale, block_items, c, w):
+    """Shared-ancestor-prefix attention FUSED with the cache column write.
+
+    Beam branches' ancestries coalesce fast under the reference's
+    stochastic survivor sampling — measured at the char serving config,
+    only ~16-19% of the per-slot cache entries streamed by the full-width
+    kernel are reachable by any live branch (~1.2 distinct ancestor slots
+    per position). The engine therefore gathers each coalesced item's
+    unique ancestor path into a per-item ``shared`` cache at phase
+    boundaries (models/caption_models.py _canonicalize_state) and this
+    kernel attends over:
+
+      * ``shared[:, :c]``  — ONE row per canonical position (1/beam of
+        the full-width bytes), bias = per-item validity (``biassh``,
+        [bi, 1, c]); all live branches agree there, so no per-branch
+        selection is needed, and
+      * the per-slot cache WINDOW ``[c, c+w)`` — the still-diverging
+        tip, with the usual flat ancestry bias (``biaswin``,
+        [bi, beam, beam*w]).
+
+    The per-slot caches stay in ANY/HBM space (they are input->output
+    aliased whole); only the window is DMAd into VMEM scratch — a
+    BlockSpec cannot express the ``[c, c+w)`` offset (block offsets are
+    multiples of the block size), a manual ``pl.ds(c, w)`` copy can.
+    The fresh K/V column lands in the window (c <= pos < c+w); same
+    substitute + 8-tile writeback as _kernel_native4d_update. Items
+    whose live branches do NOT all agree below ``c`` (stragglers) get
+    garbage outputs here (their ``shared`` rows are stale); the engine
+    overwrites their rows from the full-width kernel
+    (:func:`ancestry_attention_ids`). Softmax runs as an explicit
+    two-piece max/denominator pass — a lane-axis concat of the (c) and
+    (beam*w) energy tiles would force a Mosaic relayout.
+    """
+    pos = pos_ref[0]
+    grid_i = pl.program_id(0)
+    bi, beam, d_model = q_ref.shape
+    head_dim = d_model // n_heads
+    inv_scale = 1.0 / scale
+    row0 = grid_i * block_items
+
+    # window DMA: HBM per-slot caches -> VMEM scratch (starts first, the
+    # shared-prefix energies below hide most of its latency)
+    dk_in = pltpu.make_async_copy(
+        k_ref.at[pl.ds(row0, bi), :, pl.ds(c, w), :], kwin_ref, sem_k)
+    dv_in = pltpu.make_async_copy(
+        v_ref.at[pl.ds(row0, bi), :, pl.ds(c, w), :], vwin_ref, sem_v)
+    dk_in.start()
+    dv_in.start()
+
+    # block-diagonal masked queries (see _kernel_native4d_update)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (bi, n_heads * beam, d_model), 1) // beam
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+
+    e_sh = jax.lax.dot_general(
+        q_all, sk_ref[:],
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale + biassh_ref[:]               # [bi, H*beam, c] (+[bi,1,c])
+
+    dk_in.wait()
+    dv_in.wait()
+    # substitute the fresh column into the (small) window blocks
+    sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, w, 1), 2) == pos - c
+    kb = jnp.where(sel, knew_ref[:].astype(kwin_ref.dtype), kwin_ref[:])
+    vb = jnp.where(sel, vnew_ref[:].astype(vwin_ref.dtype), vwin_ref[:])
+    kb2 = kb.reshape(bi, beam * w, d_model)
+    vb2 = vb.reshape(bi, beam * w, d_model)
+
+    e_win = jax.lax.dot_general(
+        q_all, kb2,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale + jnp.concatenate(
+        [biaswin_ref[:]] * n_heads, axis=1)      # [bi, H*beam, beam*w]
+
+    # two-piece softmax over the concatenated support
+    m = jnp.maximum(jnp.max(e_sh, axis=2, keepdims=True),
+                    jnp.max(e_win, axis=2, keepdims=True))
+    w_sh = jnp.exp(e_sh - m)
+    w_wn = jnp.exp(e_win - m)
+    denom = (jnp.sum(w_sh, axis=2, keepdims=True)
+             + jnp.sum(w_wn, axis=2, keepdims=True))
+    out_all = (
+        jax.lax.dot_general(
+            w_sh.astype(sv_ref.dtype), sv_ref[:],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + jax.lax.dot_general(
+            w_wn.astype(vb2.dtype), vb2,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    ) / denom                                    # [bi, H*beam, D]
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        out_ref[:, :, sl] = out_all[
+            :, h * beam:(h + 1) * beam, sl].astype(out_ref.dtype)
+
+    # writeback: substitute the fresh column into the touched 8-tile of
+    # the window scratch, DMA it back at its ABSOLUTE position
+    tile_abs = pl.multiple_of((pos // 8) * 8, 8)
+    tile_win = pl.multiple_of(tile_abs - c, 8)
+    sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
+                                    2) == pos % 8
+    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype),
+                          kwin_ref[:, :, pl.ds(tile_win, 8), :])
+    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype),
+                          vwin_ref[:, :, pl.ds(tile_win, 8), :])
+    # the window DMAs completed above — their semaphores are free to
+    # carry the writeback (sflag channels are a scarce program-wide
+    # resource; phases x layers multiply every semaphore this kernel
+    # declares)
+    dk_out = pltpu.make_async_copy(
+        kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile_abs, 8), :],
+        sem_k)
+    dv_out = pltpu.make_async_copy(
+        vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile_abs, 8), :],
+        sem_v)
+    dk_out.start()
+    dv_out.start()
+    dk_out.wait()
+    dv_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam", "n_heads", "c", "p_eff", "block_items",
+                     "interpret"),
+)
+def ancestry_attention_update_canon(q, cache_k, cache_v, shared_k, shared_v,
+                                    k_new, v_new, bias_shared, bias_win,
+                                    pos, *, beam, n_heads, c, p_eff,
+                                    block_items=None, interpret=False,
+                                    live_items=None):
+    """Fused cache write + shared-prefix attention (canonical items).
+
+    Args:
+        q, k_new/v_new: ``[B*beam, D]``.
+        cache_k/cache_v: ``[B*beam, P, D]`` per-slot caches (aliased,
+            updated in place at ``pos``); only the window ``[c, p_eff)``
+            is streamed.
+        shared_k/shared_v: ``[B, >=c, D]`` canonical ancestor caches
+            (read-only); positions ``[0, c)`` streamed.
+        bias_shared: ``[B, 1, c]`` f32 per-item validity bias.
+        bias_win: ``[B, beam, beam*(p_eff-c)]`` f32 ancestry+validity
+            bias for the window.
+        pos: int32 decode position, ``c <= pos < p_eff``.
+        c: static canonical length (multiple of 8, >= 8).
+        p_eff: static read budget (multiple of 8, > c, <= P).
+        live_items: traced int32 — dynamic grid over live item blocks.
+
+    Returns:
+        (attention out ``[B*beam, D]``, cache_k, cache_v).
+    """
+    rows, p, d_model = cache_k.shape
+    num_items = rows // beam
+    head_dim = d_model // n_heads
+    scale = float(head_dim) ** 0.5
+    p_eff = min(p_eff, p)
+    assert p % 8 == 0 and c % 8 == 0 and p_eff % 8 == 0, (p, c, p_eff)
+    assert 8 <= c < p_eff <= p, (c, p_eff, p)
+    w = p_eff - c
+
+    if interpret:
+        # emulate without aliasing: manual column update + XLA reference
+        ck = jax.lax.dynamic_update_slice_in_dim(
+            cache_k, k_new.astype(cache_k.dtype)[:, None, :], pos, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(
+            cache_v, v_new.astype(cache_v.dtype)[:, None, :], pos, axis=1)
+        out = _canon_attention_reference(
+            q, ck, cv, shared_k, shared_v, bias_shared, bias_win,
+            beam=beam, n_heads=n_heads, c=c, p_eff=p_eff)
+        return out, ck, cv
+
+    if block_items is None:
+        block_items = 16 if (c + beam * w) <= 16 * 48 else 8
+    block_items = min(block_items, num_items)
+    while block_items < num_items and (
+        num_items % block_items != 0 or (block_items * beam) % 8 != 0
+    ):
+        block_items -= 1
+    if block_items < 1:
+        block_items = num_items
+
+    qg = q.reshape(num_items, beam, d_model)
+    kg = cache_k.reshape(num_items, beam, p, d_model)
+    vg = cache_v.reshape(num_items, beam, p, d_model)
+    knew = k_new.astype(cache_k.dtype).reshape(num_items, beam, 1, d_model)
+    vnew = v_new.astype(cache_v.dtype).reshape(num_items, beam, 1, d_model)
+
+    n_blocks = num_items // block_items
+    if live_items is None:
+        grid = (n_blocks,)
+    else:
+        nlive = jnp.clip(
+            (jnp.asarray(live_items, jnp.int32) + block_items - 1)
+            // block_items, 1, n_blocks)
+        grid = (nlive,)
+
+    kernel = functools.partial(
+        _kernel_native4d_update_canon, n_heads=n_heads, scale=scale,
+        block_items=block_items, c=c, w=w,
+    )
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    kc, vc, out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_items, beam, d_model),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, c, d_model),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, c, d_model),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((block_items, beam, 1, d_model),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, 1, d_model),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, 1, c),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_items, beam, beam * w),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((block_items, beam, d_model),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kg.shape, kg.dtype),
+            jax.ShapeDtypeStruct(vg.shape, vg.dtype),
+            jax.ShapeDtypeStruct((num_items, beam, d_model), q.dtype),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        scratch_shapes=[
+            pltpu.VMEM((block_items, beam, w, d_model), cache_k.dtype),
+            pltpu.VMEM((block_items, beam, w, d_model), cache_v.dtype),
+            pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
+            pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+    )(pos_arr, qg, shared_k[:, :c], shared_v[:, :c], kg, vg, knew, vnew,
+      bias_shared, bias_win)
+    return (out.reshape(rows, d_model),
+            kc.reshape(rows, p, d_model),
+            vc.reshape(rows, p, d_model))
+
+
+def _canon_attention_reference(q, cache_k, cache_v, shared_k, shared_v,
+                               bias_shared, bias_win, *, beam, n_heads, c,
+                               p_eff):
+    """XLA reference of the canonical kernel's math (tests + interpret)."""
+    rows, p, d_model = cache_k.shape
+    num_items = rows // beam
+    head_dim = d_model // n_heads
+    scale = float(head_dim) ** 0.5
+    w = p_eff - c
+
+    qh = q.reshape(num_items, beam, n_heads, head_dim)
+    sk = shared_k[:, :c].reshape(num_items, c, n_heads, head_dim)
+    sv = shared_v[:, :c].reshape(num_items, c, n_heads, head_dim)
+    wk = cache_k.reshape(num_items, beam, p, d_model)[:, :, c:p_eff]
+    wv = cache_v.reshape(num_items, beam, p, d_model)[:, :, c:p_eff]
+    wk = wk.reshape(num_items, beam * w, n_heads, head_dim)
+    wv = wv.reshape(num_items, beam * w, n_heads, head_dim)
+
+    e_sh = jnp.einsum("bjhd,bchd->bjhc", qh, sk).astype(jnp.float32)
+    e_sh = e_sh / scale + bias_shared[:, :, None, :]
+    e_wn = jnp.einsum("bjhd,bwhd->bjhw", qh, wk).astype(jnp.float32)
+    e_wn = e_wn / scale + bias_win[:, :, None, :]
+    e = jnp.concatenate([e_sh, e_wn], axis=-1)
+    attn = jax.nn.softmax(e, axis=-1)
+    out = (
+        jnp.einsum("bjhc,bchd->bjhd", attn[..., :c].astype(sv.dtype), sv)
+        + jnp.einsum("bjhw,bwhd->bjhd", attn[..., c:].astype(wv.dtype), wv)
+    )
+    return out.reshape(rows, d_model).astype(q.dtype)
+
+
+def _kernel_native4d_ids(ids_ref, q_ref, k_ref, v_ref, bias_ref, out_ref,
+                         e_ref, *, n_heads, scale):
+    # scalar-prefetch indirection wrapper: the grid walks a LIST of item
+    # ids (the engine's stragglers), every BlockSpec looks its item up in
+    # ids_ref, and the body is the plain read-only native4d kernel
+    del ids_ref
+    _kernel_native4d(q_ref, k_ref, v_ref, bias_ref, out_ref, e_ref,
+                     n_heads=n_heads, scale=scale)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam", "n_heads", "p_eff", "interpret"),
+)
+def ancestry_attention_ids(q, cache_k, cache_v, bias, item_ids, n_sel, *,
+                           beam, n_heads, p_eff=None, interpret=False):
+    """Full-width ancestry attention over a SELECTED list of items.
+
+    The canonical-prefix serving path (ancestry_attention_update_canon)
+    computes garbage for straggler items (live branches that still
+    disagree below ``c``); this kernel recomputes exactly those items
+    full-width via scalar-prefetch BlockSpec indirection — one grid step
+    per selected item, no permutation of the caches.
+
+    Args:
+        q, cache_k/cache_v, bias: as :func:`ancestry_attention` (bias is
+            the full flat ``[B, beam, beam*P]`` step bias).
+        item_ids: int32 ``[B]`` — item indices to compute; entries past
+            ``n_sel`` are ignored (the grid never reaches them).
+        n_sel: traced int32 — number of leading ``item_ids`` to run
+            (clamped to [1, B]; with 0 stragglers the single wasted
+            block computes a correct full-width row the caller's mask
+            discards).
+
+    Returns:
+        ``[B*beam, D]`` — rows of selected items hold full-width
+        attention; all other rows are UNINITIALIZED garbage (the caller
+        merges by mask).
+    """
+    rows, p, d_model = cache_k.shape
+    num_items = rows // beam
+    head_dim = d_model // n_heads
+    scale = float(head_dim) ** 0.5
+    pe = p if p_eff is None else min(p_eff, p)
+    assert pe == p or pe % 8 == 0, (pe, p)
+
+    if interpret:
+        # full compute on every item (ids ignored): the caller's mask
+        # selects the same values the indirect kernel would produce
+        return ancestry_attention(
+            q, cache_k, cache_v, bias, beam=beam, n_heads=n_heads,
+            interpret=True, p_eff=p_eff)
+
+    qg = q.reshape(num_items, beam, d_model)
+    kg = cache_k.reshape(num_items, beam, p, d_model)
+    vg = cache_v.reshape(num_items, beam, p, d_model)
+    bias4 = bias.reshape(num_items, beam, beam, p)
+    kernel = functools.partial(_kernel_native4d_ids, n_heads=n_heads,
+                               scale=scale)
+    nsel = jnp.clip(jnp.asarray(n_sel, jnp.int32), 1, num_items)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsel,),
+            in_specs=[
+                pl.BlockSpec((1, beam, d_model),
+                             lambda i, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, beam, pe, d_model),
+                             lambda i, ids: (ids[i], 0, 0, 0)),
+                pl.BlockSpec((1, beam, pe, d_model),
+                             lambda i, ids: (ids[i], 0, 0, 0)),
+                pl.BlockSpec((1, beam, beam, p),
+                             lambda i, ids: (ids[i], 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, beam, d_model),
+                                   lambda i, ids: (ids[i], 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, beam, beam, pe), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_items, beam, d_model), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+        ),
+    )(item_ids.astype(jnp.int32), qg, kg, vg, bias4)
+    return out.reshape(rows, d_model)
 
 
 def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *,

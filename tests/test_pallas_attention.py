@@ -280,3 +280,149 @@ def test_generation_compaction_greedy_equality():
     np.testing.assert_allclose(np.asarray(outs[False]["scores"]),
                                np.asarray(outs[True]["scores"]),
                                atol=1e-5)
+
+
+def _canon_setup(B=4, beam=3, P=32, c=16, pe=24, strag=(1,), seed=5):
+    """State where all live branches agree below ``c`` except ``strag``
+    items: caches, ancestry, validity, the gathered shared caches, and
+    the three biases the canonical kernel consumes."""
+    rng = np.random.default_rng(seed)
+    rows = B * beam
+    k = rng.normal(size=(rows, P, D)).astype(np.float32)
+    v = rng.normal(size=(rows, P, D)).astype(np.float32)
+    q = rng.normal(size=(rows, D)).astype(np.float32)
+    k_new = rng.normal(size=(rows, D)).astype(np.float32)
+    v_new = rng.normal(size=(rows, D)).astype(np.float32)
+
+    path = rng.integers(0, BEAM, size=(B, P)).astype(np.int32)
+    anc = np.broadcast_to(path[:, None, :], (B, beam, P)).copy()
+    anc[:, :, c:] = rng.integers(0, beam, size=(B, beam, P - c))
+    for b in strag:
+        anc[b] = rng.integers(0, beam, size=(beam, P))
+    anc = np.minimum(anc, beam - 1)
+
+    valid = np.zeros((rows, P), bool)
+    n_per_item = rng.integers(c + 1, pe, size=B)
+    for b in range(B):
+        for j in range(beam):
+            valid[b * beam + j, :n_per_item[b]] = True
+    # a few invalid (pad) positions inside the prefix, same for all
+    # branches of an item (branch agreement below c implies it)
+    for b in range(B):
+        holes = rng.integers(1, c, size=2)
+        for j in range(beam):
+            valid[b * beam + j, holes] = False
+
+    shared_k = np.zeros((B, P, D), np.float32)
+    shared_v = np.zeros((B, P, D), np.float32)
+    for b in range(B):
+        for p_ in range(c):
+            shared_k[b, p_] = k[b * beam + anc[b, 0, p_], p_]
+            shared_v[b, p_] = v[b * beam + anc[b, 0, p_], p_]
+
+    bias_sh = np.where(valid.reshape(B, beam, P)[:, 0, :c], 0.0,
+                       -1e8)[:, None, :].astype(np.float32)
+    from deephumor_tpu.ops.pallas_attention import ancestry_bias
+    anc_j, valid_j = jnp.asarray(anc), jnp.asarray(valid)
+    bias_full = ancestry_bias(anc_j, valid_j, P)
+    w = pe - c
+    bias_win = ancestry_bias(
+        anc_j[:, :, c:pe],
+        valid_j.reshape(B, beam, P)[:, :, c:pe].reshape(rows, w), w)
+    return dict(q=q, k=k, v=v, k_new=k_new, v_new=v_new, anc=anc,
+                valid=valid, shared_k=shared_k, shared_v=shared_v,
+                bias_sh=bias_sh, bias_win=np.asarray(bias_win),
+                bias_full=np.asarray(bias_full), B=B, beam=beam, P=P,
+                c=c, pe=pe, strag=strag)
+
+
+def test_canon_update_matches_full_width():
+    # canonical items: shared-prefix + window attention == full-width
+    # ancestry attention after the column write; caches written the same
+    from deephumor_tpu.ops.pallas_attention import (
+        ancestry_attention_update, ancestry_attention_update_canon)
+
+    s = _canon_setup(B=4, beam=BEAM, P=32, c=16, pe=24, strag=(1,))
+    pos = 18  # inside the window [c, pe)
+    B, beam = s["B"], s["beam"]
+    # full-width truth (validity already covers pos via setup's n_per_item
+    # >= c+1 ... pe; make pos valid explicitly for every row)
+    valid = s["valid"].copy()
+    valid[:, pos] = True
+    bias_full = np.asarray(ancestry_bias(
+        jnp.asarray(s["anc"]), jnp.asarray(valid), s["P"]))
+    w = s["pe"] - s["c"]
+    bias_win = np.asarray(ancestry_bias(
+        jnp.asarray(s["anc"][:, :, s["c"]:s["pe"]]),
+        jnp.asarray(valid.reshape(B, beam, s["P"])
+                    [:, :, s["c"]:s["pe"]].reshape(B * beam, w)), w))
+
+    want, wk, wv = ancestry_attention_update(
+        jnp.asarray(s["q"]), jnp.asarray(s["k"]), jnp.asarray(s["v"]),
+        jnp.asarray(s["k_new"]), jnp.asarray(s["v_new"]),
+        jnp.asarray(bias_full), pos, beam=beam, n_heads=H, interpret=True)
+    got, gk, gv = ancestry_attention_update_canon(
+        jnp.asarray(s["q"]), jnp.asarray(s["k"]), jnp.asarray(s["v"]),
+        jnp.asarray(s["shared_k"]), jnp.asarray(s["shared_v"]),
+        jnp.asarray(s["k_new"]), jnp.asarray(s["v_new"]),
+        jnp.asarray(s["bias_sh"]), jnp.asarray(bias_win), pos,
+        beam=beam, n_heads=H, c=s["c"], p_eff=s["pe"], interpret=True)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(wv), atol=1e-6)
+    got, want = np.asarray(got), np.asarray(want)
+    for b in range(B):
+        rows_b = slice(b * beam, (b + 1) * beam)
+        if b in s["strag"]:
+            # stragglers: canon output is garbage by contract — but the
+            # cache write above must still have been correct (checked)
+            continue
+        np.testing.assert_allclose(got[rows_b], want[rows_b], atol=1e-4)
+
+
+def test_ids_kernel_interpret_full_equivalence():
+    # interpret fallback computes every item; real-kernel indirection is
+    # validated on hardware (benchmarks/canon_validate.py)
+    from deephumor_tpu.ops.pallas_attention import (
+        ancestry_attention, ancestry_attention_ids)
+
+    s = _canon_setup(B=4, beam=BEAM, P=32, c=16, pe=24)
+    ids = jnp.asarray([1, 0, 2, 3], jnp.int32)
+    got = ancestry_attention_ids(
+        jnp.asarray(s["q"]), jnp.asarray(s["k"]), jnp.asarray(s["v"]),
+        jnp.asarray(s["bias_full"]), ids, jnp.int32(2), beam=s["beam"],
+        n_heads=H, interpret=True)
+    want = ancestry_attention(
+        jnp.asarray(s["q"]), jnp.asarray(s["k"]), jnp.asarray(s["v"]),
+        jnp.asarray(s["bias_full"]), beam=s["beam"], n_heads=H,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("greedy,compact", [(False, False), (True, True)])
+def test_generation_canon_equality(greedy, compact):
+    # canonical-prefix attention (canon=True) must be draw-for-draw
+    # identical to the full-width path: max_len 72 crosses several canon
+    # phases (pe >= 48), stochastic sampling creates genuine straggler
+    # items, greedy+compact exercises the boundary composition
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=64, hid_dim=32, n_layers=2, n_heads=2, pf_dim=64,
+        max_len=80,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    spa = jnp.asarray(rng.normal(size=(8, 49, 32)).astype(np.float32))
+    outs = {}
+    for canon in (False, True):
+        outs[canon] = model.generate_from_emb(
+            params, (emb, spa), key=jax.random.PRNGKey(7), max_len=72,
+            beam_size=4, top_k=8, greedy=greedy, attn="pallas_interpret",
+            compact=compact, canon=canon)
+    np.testing.assert_array_equal(np.asarray(outs[False]["chosen"]),
+                                  np.asarray(outs[True]["chosen"]))
+    np.testing.assert_allclose(np.asarray(outs[False]["scores"]),
+                               np.asarray(outs[True]["scores"]),
+                               atol=1e-4)
