@@ -122,3 +122,45 @@ def test_golden_render_grid_border():
                       font_path=packaged_font_path())
     )
     np.testing.assert_array_equal(out, golden)
+
+
+def test_dilate_fill_placement_matches_draw_text():
+    """The dilate border mode's WHITE FILL must land pixel-identically to
+    ImageDraw.text (same int/fract coordinate split, same subpixel start
+    into the rasterizer) — the border is the only thing that differs
+    from the stroke mode."""
+    from PIL import ImageDraw, ImageFont
+
+    from deephumor_tpu.imaging.caption import (
+        _draw_dilate_bordered,
+        packaged_font_path,
+    )
+
+    font = ImageFont.truetype(packaged_font_path(), 41)
+    for xy in [(13.7, 50.2), (0.0, 0.0), (199.5, 120.9)]:
+        a = Image.new("RGB", (400, 300), (40, 80, 120))
+        ImageDraw.Draw(a).text(xy, "HELLO WORLD", (255, 255, 255),
+                               font=font)
+        b = Image.new("RGB", (400, 300), (40, 80, 120))
+        _draw_dilate_bordered(b, xy, "HELLO WORLD", font, 0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dilate_border_surrounds_fill():
+    """Border mode sanity: no white glyph pixel touches raw background
+    directly — the dilated black ring sits between them. Background is a
+    NON-gray color: white-over-black antialiasing only produces grays,
+    so an exact bg match can't be a glyph edge pixel."""
+    img = Image.new("RGB", (400, 300), (40, 80, 120))
+    out = np.asarray(memeify_image(img, top="BORDER", bottom=""))
+    white = (out == 255).all(axis=2)
+    black = (out == 0).all(axis=2)
+    assert white.any() and black.any()
+    ys, xs = np.nonzero(white)
+    bg = (out == np.array([40, 80, 120])).all(axis=2)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            assert not bg[
+                np.clip(ys + dy, 0, out.shape[0] - 1),
+                np.clip(xs + dx, 0, out.shape[1] - 1),
+            ].any()
