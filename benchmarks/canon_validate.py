@@ -124,17 +124,22 @@ def main():
         return (ck, cv)
 
     def canon_step(st):
+        ck0, cv0, acc = st
         o, ck, cv = pa.ancestry_attention_update_canon(
-            q, st[0], st[1], shared_k, shared_v, k_new, v_new,
+            q, ck0, cv0, shared_k, shared_v, k_new, v_new,
             bias_sh, bias_win, posj, beam=BEAM, n_heads=HEADS, c=C,
             p_eff=PE)
         o2 = pa.ancestry_attention_ids(
             q, ck, cv, bias_full, jnp.asarray(ids),
             jnp.int32(len(strag)), beam=BEAM, n_heads=HEADS, p_eff=PE)
-        return (ck, cv)
+        # the ids kernel has no side effects and its output must feed the
+        # carry, or XLA dead-code-eliminates the whole straggler recompute
+        # from the timed loop (the canon/full update kernels survive via
+        # their aliased cache outputs + has_side_effects)
+        return (ck, cv, acc + o2[0, 0].astype(jnp.float32))
 
     t_full = timeit(full_step, (k, v))
-    t_canon = timeit(canon_step, (k, v))
+    t_canon = timeit(canon_step, (k, v, jnp.float32(0)))
     print(f"full-width update: {t_full:.3f} ms/step")
     print(f"canon+ids (20% stragglers): {t_canon:.3f} ms/step "
           f"({t_full / t_canon:.2f}x)")

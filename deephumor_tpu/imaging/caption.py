@@ -75,12 +75,19 @@ def _text_size(text, font):
 
     Pillow's legacy ``getsize`` returned ``(width, bottom)`` of the bbox at
     origin; ``getbbox`` gives (x0, y0, x1, y1) so width=x1, height=y1.
-    Memoized: the fit/wrap/draw pipeline measures the same (text, font)
-    pair 2-3 times per meme, and the font-fit searches re-measure the
-    same probe strings across a batch render (FreeType shaping is ~40%
-    of an uncached render).
+    Memoized when the font is a plain path-loaded face: the fit/wrap/draw
+    pipeline measures the same (text, font) pair 2-3 times per meme, and
+    the font-fit searches re-measure the same probe strings across a
+    batch render (FreeType shaping is ~40% of an uncached render).
+    Buffer-loaded or customized fonts (no usable ``.path``, variations,
+    non-default layout engine) are measured directly — correctness over
+    the cache.
     """
-    return _measured_size(font.path, font.size, text)
+    path = getattr(font, "path", None)
+    if isinstance(path, str) and _load_font(path, font.size) is font:
+        return _measured_size(path, font.size, text)
+    left, top, right, bottom = font.getbbox(text)
+    return right, bottom
 
 
 def get_maximal_font(img, text, font_size=64, text_width=0.94, font_path=None):

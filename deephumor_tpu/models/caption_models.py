@@ -54,6 +54,8 @@ from deephumor_tpu.models.encoders import (
     image_label_encoder_init,
 )
 from deephumor_tpu.models.sampling import beam_search
+
+_DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
 from deephumor_tpu.utils.pytree import load_params, save_params
 
 __all__ = [
@@ -677,7 +679,9 @@ class CaptioningTransformerBase:
         strag_ids = jnp.argsort(~is_strag, stable=True).astype(jnp.int32)
         n_strag = jnp.sum(is_strag).astype(jnp.int32)
 
-        if os.environ.get("DH_DEBUG_CANON"):  # boundary diagnostics
+        if _DEBUG_CANON:  # boundary diagnostics (import-time knob: it
+            # changes the traced program and the compile cache does not
+            # key on it — see transformer._CANON_NO_IDS)
             jax.debug.print("canon c={c}: stragglers {n}/{b}",
                             c=c, n=n_strag, b=num_items)
         rowsel = (jnp.arange(num_items, dtype=jnp.int32)[:, None] * beam
@@ -778,8 +782,9 @@ class CaptioningTransformerBase:
         # canonical-prefix attention (shared-ancestor cache below c; see
         # _canonicalize_state): kicks in per-phase once the read budget
         # is big enough for a c >= 24 prefix, so short word-config runs
-        # never pay for it. compact=False also disables it (both ride
-        # the same boundary machinery); attn must be a pallas impl.
+        # never pay for it. Controlled ONLY by the canon kwarg
+        # (independent of compact= — the two share boundary machinery
+        # but gate separately); attn must be a pallas impl.
         use_canon = (
             attn.startswith("pallas")
             if canon is None else canon and attn.startswith("pallas"))

@@ -38,6 +38,11 @@ import jax.numpy as jnp
 from deephumor_tpu.models import layers as L
 from deephumor_tpu.ops import pallas_attention as pallas_attn
 
+# timing-probe knob, read ONCE at import: it changes the traced program,
+# and the engine's compiled-generate lru_cache does not key on it — a
+# mid-process toggle would silently reuse the stale executable.
+_CANON_NO_IDS = bool(os.environ.get("DH_CANON_NO_IDS"))
+
 __all__ = [
     "mha_init",
     "mha_apply",
@@ -678,7 +683,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                         p_eff=(p_cache if p_eff is None else p_eff),
                         interpret=interp, live_items=live_items,
                     ))
-                if not os.environ.get("DH_CANON_NO_IDS"):
+                if not _CANON_NO_IDS:
                     # timing-only probe knob: skipping the straggler
                     # recompute isolates the ids kernel's cost (outputs
                     # for straggler rows become garbage)

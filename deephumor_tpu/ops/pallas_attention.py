@@ -47,6 +47,21 @@ __all__ = ["ancestry_attention", "ancestry_attention_update",
 MASK_FILL = -1e8
 
 
+def _pick_block_items(start, n, row_mult):
+    """Largest block size <= ``start`` that divides ``n`` with
+    sublane-aligned rows (``block * row_mult % 8 == 0``); falls back to
+    the whole axis as ONE block when no smaller size satisfies both
+    (a full block has no partial-tile edge, so it is always legal —
+    e.g. n prime with row_mult=7, where the old decrement loop would
+    reach 0 and divide by zero)."""
+    b = min(start, n)
+    while 1 < b < n and (n % b != 0 or (b * row_mult) % 8 != 0):
+        b -= 1
+    if b < n and (n % b != 0 or (b * row_mult) % 8 != 0):
+        b = n
+    return b
+
+
 def ancestry_bias(anc, valid, p, flat=True):
     """Additive selection bias from ancestry + validity (XLA-side, tiny).
 
@@ -218,13 +233,7 @@ def ancestry_attention(q, cache_k, cache_v, bias, *, beam, n_heads,
 
     # block rows must be sublane-aligned (divisible by 8) unless the block
     # covers the whole row axis
-    block_items = min(block_items, num_items)
-    while block_items < num_items and (
-        num_items % block_items != 0 or (block_items * beam) % 8 != 0
-    ):
-        block_items -= 1
-    if block_items < 1:
-        block_items = num_items
+    block_items = _pick_block_items(block_items, num_items, beam)
     block_rows = block_items * beam
 
     grid = (num_items // block_items,)
@@ -495,13 +504,7 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     if block_items is None:
         # double-buffered K/V blocks + tile scratch must fit scoped VMEM
         block_items = 16 if pe_budget <= 16 else 8
-    block_items = min(block_items, num_items)
-    while block_items < num_items and (
-        num_items % block_items != 0 or (block_items * beam) % 8 != 0
-    ):
-        block_items -= 1
-    if block_items < 1:
-        block_items = num_items
+    block_items = _pick_block_items(block_items, num_items, beam)
 
     pe = p if p_eff is None else min(p_eff, p)
     assert pe % 8 == 0, (pe, p)
@@ -787,13 +790,7 @@ def ancestry_attention_update_canon(q, cache_k, cache_v, shared_k, shared_v,
 
     if block_items is None:
         block_items = 16 if (c + beam * w) <= 16 * 48 else 8
-    block_items = min(block_items, num_items)
-    while block_items < num_items and (
-        num_items % block_items != 0 or (block_items * beam) % 8 != 0
-    ):
-        block_items -= 1
-    if block_items < 1:
-        block_items = num_items
+    block_items = _pick_block_items(block_items, num_items, beam)
 
     qg = q.reshape(num_items, beam, d_model)
     kg = cache_k.reshape(num_items, beam, p, d_model)
@@ -1055,13 +1052,7 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
     if bias is None:
         bias = jnp.zeros((g, 1, t), jnp.float32)
 
-    block_items = min(block_items, g)
-    while block_items < g and (
-        g % block_items != 0 or (block_items * r) % 8 != 0
-    ):
-        block_items -= 1
-    if block_items < 1:
-        block_items = g
+    block_items = _pick_block_items(block_items, g, r)
 
     n_blocks = g // block_items
     if live_items is None:
@@ -1242,13 +1233,7 @@ def ancestry_attention_update_flash(q, cache_k, cache_v, k_new, v_new,
     assert p % 8 == 0, p
     n_tiles = p // 8
 
-    block_items = min(block_items, num_items)
-    while block_items < num_items and (
-        num_items % block_items != 0 or (block_items * beam) % 8 != 0
-    ):
-        block_items -= 1
-    if block_items < 1:
-        block_items = num_items
+    block_items = _pick_block_items(block_items, num_items, beam)
     bi = block_items
 
     qg = q.reshape(num_items, beam, d_model)

@@ -426,3 +426,16 @@ def test_generation_canon_equality(greedy, compact):
     np.testing.assert_allclose(np.asarray(outs[False]["scores"]),
                                np.asarray(outs[True]["scores"]),
                                atol=1e-4)
+
+
+def test_pick_block_items_no_divisor_falls_back_whole_axis():
+    # regression: num_items whose divisors all fail the sublane check
+    # used to decrement to 0 and raise ZeroDivisionError at trace time
+    from deephumor_tpu.ops.pallas_attention import _pick_block_items
+
+    for start, n, r in [(16, 34, 7), (16, 44, 7), (8, 17, 3), (16, 1, 7)]:
+        b = _pick_block_items(start, n, r)
+        assert 1 <= b <= n and n % b == 0
+        assert (b * r) % 8 == 0 or b == n
+    assert _pick_block_items(16, 32, 8) == 16
+    assert _pick_block_items(16, 48, 7) == 16
