@@ -439,3 +439,62 @@ def test_pick_block_items_no_divisor_falls_back_whole_axis():
         assert (b * r) % 8 == 0 or b == n
     assert _pick_block_items(16, 32, 8) == 16
     assert _pick_block_items(16, 48, 7) == 16
+
+
+def test_canon_and_ids_kernel_bodies_under_tpu_interpreter():
+    """Run the REAL Mosaic kernel bodies (manual window DMA, two-piece
+    softmax, 8-tile writeback, scalar-prefetch indirection) under the
+    TPU interpreter and compare against the XLA reference. The public
+    interpret=True paths of these two kernels substitute an XLA
+    reference for speed in generation-level tests — without this test
+    the kernel bodies would have zero CPU coverage."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deephumor_tpu.ops import pallas_attention as pa
+
+    ITEMS, BEAM, P, D, HEADS = 4, 3, 32, 32, 2
+    C, PE, pos = 16, 24, 18
+    rows = ITEMS * BEAM
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(rows, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(rows, P, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(rows, P, D)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(size=(rows, D)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(size=(rows, D)).astype(np.float32))
+    sk = jnp.asarray(rng.normal(size=(ITEMS, P, D)).astype(np.float32))
+    sv = jnp.asarray(rng.normal(size=(ITEMS, P, D)).astype(np.float32))
+    bsh = jnp.zeros((ITEMS, 1, C), jnp.float32)
+    bwin = jnp.zeros((ITEMS, BEAM, BEAM * (PE - C)), jnp.float32)
+
+    ck_ref = jax.lax.dynamic_update_slice_in_dim(
+        k, kn[:, None, :], pos, axis=1)
+    cv_ref = jax.lax.dynamic_update_slice_in_dim(
+        v, vn[:, None, :], pos, axis=1)
+    ref = pa._canon_attention_reference(
+        q, ck_ref, cv_ref, sk, sv, bsh, bwin,
+        beam=BEAM, n_heads=HEADS, c=C, p_eff=PE)
+
+    canon_fn = pa.ancestry_attention_update_canon.__wrapped__
+    with pltpu.force_tpu_interpret_mode():
+        out, ck, cv = canon_fn(
+            q, k, v, sk, sv, kn, vn, bsh, bwin, jnp.int32(pos),
+            beam=BEAM, n_heads=HEADS, c=C, p_eff=PE, interpret=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(ck_ref))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv_ref))
+
+    anc = jnp.asarray(
+        rng.integers(0, BEAM, size=(ITEMS, BEAM, P)).astype(np.int32))
+    bias = pa.ancestry_bias(anc, jnp.asarray(np.ones((rows, P), bool)), P)
+    full = pa.ancestry_attention(q, ck_ref, cv_ref, bias, beam=BEAM,
+                                 n_heads=HEADS, interpret=True)
+    ids_fn = pa.ancestry_attention_ids.__wrapped__
+    with pltpu.force_tpu_interpret_mode():
+        out_ids = ids_fn(q, ck_ref, cv_ref, bias,
+                         jnp.asarray(np.array([2, 0, 0, 0], np.int32)),
+                         jnp.int32(1), beam=BEAM, n_heads=HEADS,
+                         interpret=False)
+    sel = np.asarray(out_ids).reshape(ITEMS, BEAM, D)[2]
+    np.testing.assert_allclose(
+        sel, np.asarray(full).reshape(ITEMS, BEAM, D)[2], atol=1e-5)
