@@ -252,6 +252,31 @@ def bench_end_to_end(render=True):
 
 
 def main():
+    # Watchdog: a wedged device tunnel hangs backend init forever (the
+    # claim leg never returns). Emit a diagnosable JSON line and exit
+    # instead of silently eating the round's bench window. Disarmed the
+    # moment the first device dispatch succeeds.
+    import os
+    import threading
+
+    def _bail():
+        print(json.dumps({
+            "metric": "captions/sec/chip (word V=%d, beam=5, len=32)"
+                      % VOCAB,
+            "value": 0.0,
+            "unit": "captions/s",
+            "vs_baseline": 0.0,
+            "error": "device backend init timed out (tunnel claim "
+                     "never granted) — see STATUS.md infra note",
+        }), flush=True)
+        os._exit(17)
+
+    watchdog = threading.Timer(600.0, _bail)
+    watchdog.daemon = True
+    watchdog.start()
+    jnp.zeros(8).block_until_ready()  # forces backend init + one dispatch
+    watchdog.cancel()
+
     word_capt_s, (model, params) = bench_generation(VOCAB)
     p50_ms = bench_latency(model, params)
     word_small_capt_s, _ = bench_generation(VOCAB_SMALL, iters=6)
