@@ -111,15 +111,18 @@ def main():
                     st, None, None, ended, c=c)
                 return s2
             st = _canon(st)
-        if no_ids:
-            os.environ["DH_CANON_NO_IDS"] = "1"
+        # the probe knob is read at import (see transformer._CANON_NO_IDS);
+        # this ledger builds fresh (unjitted-engine) steps per variant, so
+        # monkeypatching the module constant is trace-safe here
+        from deephumor_tpu.models import transformer as _tfm
+        _tfm._CANON_NO_IDS = bool(no_ids)
         try:
             step = model._make_step(
                 p, consts, "pallas", p_eff=pe, return_hidden=True,
                 canon_c=c if canon else None)
             t = step_loop(step, st, tokens)
         finally:
-            os.environ.pop("DH_CANON_NO_IDS", None)
+            _tfm._CANON_NO_IDS = False
         results[name] = t
         print(f"{name:44s} {t*1e3:7.3f} ms", flush=True)
 
