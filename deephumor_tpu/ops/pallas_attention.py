@@ -644,19 +644,42 @@ def _kernel_native4d_update_canon(pos_ref, q_ref, sk_ref, sv_ref, k_ref,
     """
     pos = pos_ref[0]
     grid_i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
     bi, beam, d_model = q_ref.shape
     head_dim = d_model // n_heads
     inv_scale = 1.0 / scale
     row0 = grid_i * block_items
+    slot = jax.lax.rem(grid_i, 2)
+    nxt_slot = jax.lax.rem(grid_i + 1, 2)
 
-    # window DMA: HBM per-slot caches -> VMEM scratch (starts first, the
-    # shared-prefix energies below hide most of its latency)
-    dk_in = pltpu.make_async_copy(
-        k_ref.at[pl.ds(row0, bi), :, pl.ds(c, w), :], kwin_ref, sem_k)
-    dv_in = pltpu.make_async_copy(
-        v_ref.at[pl.ds(row0, bi), :, pl.ds(c, w), :], vwin_ref, sem_v)
-    dk_in.start()
-    dv_in.start()
+    def _win_copy(block, buf_slot):
+        r0 = block * block_items
+        dk = pltpu.make_async_copy(
+            k_ref.at[pl.ds(r0, bi), :, pl.ds(c, w), :],
+            kwin_ref.at[buf_slot], sem_k.at[buf_slot])
+        dv = pltpu.make_async_copy(
+            v_ref.at[pl.ds(r0, bi), :, pl.ds(c, w), :],
+            vwin_ref.at[buf_slot], sem_v.at[buf_slot])
+        return dk, dv
+
+    # cross-block DOUBLE BUFFERING of the manual window DMA. BlockSpec
+    # inputs (shared prefix, biases) pipeline across grid steps
+    # automatically; a manual copy does not — started and waited inside
+    # one block, it stalls every block on HBM latency (measured ~2x
+    # bandwidth loss vs the full-width kernel's streamed reads). Block i
+    # therefore starts block i+1's window copy into the other buffer
+    # before computing, and waits on the copy block i-1 started for it.
+    @pl.when(grid_i == 0)
+    def _start_first():
+        dk, dv = _win_copy(grid_i, slot)
+        dk.start()
+        dv.start()
+
+    @pl.when(grid_i + 1 < n_blocks)
+    def _prefetch_next():
+        dk, dv = _win_copy(grid_i + 1, nxt_slot)
+        dk.start()
+        dv.start()
 
     # block-diagonal masked queries (see _kernel_native4d_update)
     lane = jax.lax.broadcasted_iota(
@@ -672,12 +695,15 @@ def _kernel_native4d_update_canon(pos_ref, q_ref, sk_ref, sv_ref, k_ref,
         preferred_element_type=jnp.float32,
     ) * inv_scale + biassh_ref[:]               # [bi, H*beam, c] (+[bi,1,c])
 
+    dk_in, dv_in = _win_copy(grid_i, slot)
     dk_in.wait()
     dv_in.wait()
+    kwin = kwin_ref[slot]                        # [bi, beam, w, D]
+    vwin = vwin_ref[slot]
     # substitute the fresh column into the (small) window blocks
     sel = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, w, 1), 2) == pos - c
-    kb = jnp.where(sel, knew_ref[:].astype(kwin_ref.dtype), kwin_ref[:])
-    vb = jnp.where(sel, vnew_ref[:].astype(vwin_ref.dtype), vwin_ref[:])
+    kb = jnp.where(sel, knew_ref[:].astype(kwin.dtype), kwin)
+    vb = jnp.where(sel, vnew_ref[:].astype(vwin.dtype), vwin)
     kb2 = kb.reshape(bi, beam * w, d_model)
     vb2 = vb.reshape(bi, beam * w, d_model)
 
@@ -718,20 +744,23 @@ def _kernel_native4d_update_canon(pos_ref, q_ref, sk_ref, sv_ref, k_ref,
     tile_win = pl.multiple_of(tile_abs - c, 8)
     sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
                                     2) == pos % 8
-    kw_ref[:] = jnp.where(sel8, knew_ref[:].astype(kw_ref.dtype),
-                          kwin_ref[:, :, pl.ds(tile_win, 8), :])
-    vw_ref[:] = jnp.where(sel8, vnew_ref[:].astype(vw_ref.dtype),
-                          vwin_ref[:, :, pl.ds(tile_win, 8), :])
-    # the window DMAs completed above — their semaphores are free to
-    # carry the writeback (sflag channels are a scarce program-wide
-    # resource; phases x layers multiply every semaphore this kernel
-    # declares)
+    kw_ref[:] = jnp.where(
+        sel8, knew_ref[:].astype(kw_ref.dtype),
+        jax.lax.dynamic_slice_in_dim(kwin, tile_win, 8, axis=2))
+    vw_ref[:] = jnp.where(
+        sel8, vnew_ref[:].astype(vw_ref.dtype),
+        jax.lax.dynamic_slice_in_dim(vwin, tile_win, 8, axis=2))
+    # this block's window-input DMAs completed above — their slot's
+    # semaphores are free to carry the writeback (sflag channels are a
+    # scarce program-wide resource; phases x layers multiply every
+    # semaphore this kernel declares); the next block's prefetch rides
+    # the OTHER slot's semaphores
     dk_out = pltpu.make_async_copy(
         kw_ref, kout_ref.at[pl.ds(row0, bi), :, pl.ds(tile_abs, 8), :],
-        sem_k)
+        sem_k.at[slot])
     dv_out = pltpu.make_async_copy(
         vw_ref, vout_ref.at[pl.ds(row0, bi), :, pl.ds(tile_abs, 8), :],
-        sem_v)
+        sem_v.at[slot])
     dk_out.start()
     dv_out.start()
     dk_out.wait()
@@ -847,12 +876,14 @@ def ancestry_attention_update_canon(q, cache_k, cache_v, shared_k, shared_v,
         ),
         input_output_aliases={4: 0, 5: 1},
         scratch_shapes=[
-            pltpu.VMEM((block_items, beam, w, d_model), cache_k.dtype),
-            pltpu.VMEM((block_items, beam, w, d_model), cache_v.dtype),
+            # window buffers + sems are 2-slot arrays: cross-block
+            # double buffering of the manual window DMA (see kernel)
+            pltpu.VMEM((2, block_items, beam, w, d_model), cache_k.dtype),
+            pltpu.VMEM((2, block_items, beam, w, d_model), cache_v.dtype),
             pltpu.VMEM((block_items, beam, 8, d_model), cache_k.dtype),
             pltpu.VMEM((block_items, beam, 8, d_model), cache_v.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,

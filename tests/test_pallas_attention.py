@@ -475,14 +475,19 @@ def test_canon_and_ids_kernel_bodies_under_tpu_interpreter():
         beam=BEAM, n_heads=HEADS, c=C, p_eff=PE)
 
     canon_fn = pa.ancestry_attention_update_canon.__wrapped__
-    with pltpu.force_tpu_interpret_mode():
-        out, ck, cv = canon_fn(
-            q, k, v, sk, sv, kn, vn, bsh, bwin, jnp.int32(pos),
-            beam=BEAM, n_heads=HEADS, c=C, p_eff=PE, interpret=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(ck), np.asarray(ck_ref))
-    np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv_ref))
+    # block_items=2 -> two grid blocks: exercises the cross-block
+    # double-buffered window DMA (prefetch into the other slot), not
+    # just the single-block entry path
+    for bi in (None, 2):
+        with pltpu.force_tpu_interpret_mode():
+            out, ck, cv = canon_fn(
+                q, k, v, sk, sv, kn, vn, bsh, bwin, jnp.int32(pos),
+                beam=BEAM, n_heads=HEADS, c=C, p_eff=PE,
+                block_items=bi, interpret=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(ck), np.asarray(ck_ref))
+        np.testing.assert_array_equal(np.asarray(cv), np.asarray(cv_ref))
 
     anc = jnp.asarray(
         rng.integers(0, BEAM, size=(ITEMS, BEAM, P)).astype(np.int32))
