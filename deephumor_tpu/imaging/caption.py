@@ -195,6 +195,133 @@ def _dilate(arr, b):
     return dil
 
 
+# Glyph-compose fast path: only printable ASCII is eligible — outside
+# it, contextual shaping (ligatures, combining marks, complex scripts)
+# can make an isolated glyph's raster differ from its in-context one.
+# Meme text is drawn uppercased, so real traffic is entirely inside.
+_COMPOSE_SAFE = frozenset(chr(c) for c in range(0x20, 0x7F))
+
+
+class _LineComposer:
+    """Rebuilds a line's rasterized mask from per-glyph rasters.
+
+    ``font.getmask2(line)`` re-shapes and re-rasterizes every glyph on
+    every call — ~60% of the meme render wall time, dominated by
+    FreeType/HarfBuzz per-call overhead rather than pixel work. Captions
+    vary per meme but draw from the same glyph set, so this caches:
+
+      - ``advance(c)  = getlength(c)``,
+      - ``kern(a, b)  = getlength(a+b) - getlength(a) - getlength(b)``
+        (pairwise GPOS kerning — for Latin text HarfBuzz applies exactly
+        these pair adjustments, so cumulative pen positions rebuilt from
+        them equal the full-line shape's),
+      - the glyph raster per (char, 1/64-subpixel x/y phase) — pen
+        positions live in 26.6 fixed point, so ``getlength`` values are
+        exact multiples of 1/64 and float accumulation is lossless;
+        phases quantize to 64 bins and only a handful occur in practice.
+
+    The composed mask's INK is byte-identical to ``getmask2``'s (its
+    bounding box differs — PIL pads the line box to the advance width;
+    the surrounding empty columns paste as no-ops, so the rendered image
+    is pixel-identical; ``tests/test_imaging.py`` asserts this against
+    ``ImageDraw.text``).
+    """
+
+    def __init__(self, font):
+        self.font = font
+        self._adv = {}
+        self._kern = {}
+        self._glyphs = {}
+
+    def _advance(self, c):
+        a = self._adv.get(c)
+        if a is None:
+            a = self._adv[c] = self.font.getlength(c)
+        return a
+
+    def _kerning(self, a, b):
+        k = self._kern.get((a, b))
+        if k is None:
+            k = self.font.getlength(a + b) - self._advance(a) \
+                - self._advance(b)
+            self._kern[(a, b)] = k
+        return k
+
+    def _glyph(self, ch, px, py):
+        key = (ch, round(px * 64), round(py * 64))
+        g = self._glyphs.get(key, False)
+        if g is False:
+            m, (dx, dy) = self.font.getmask2(ch, "L", start=(px, py))
+            w, h = m.size
+            g = None if w == 0 or h == 0 else (
+                np.frombuffer(bytes(m), np.uint8).reshape(h, w), dx, dy)
+            self._glyphs[key] = g
+        return g
+
+    def compose(self, line, fx, fy):
+        """Ink mask of ``line`` at subpixel start ``(fx, fy)``.
+
+        Returns ``(arr, x0, y0)`` — uint8 ink bitmap and its offset from
+        the integer anchor (same meaning as ``getmask2``'s offset) — or
+        ``None`` for no ink.
+        """
+        pieces = []
+        x0 = y0 = x1 = y1 = None
+        pen = fx
+        prev = None
+        for ch in line:
+            if prev is not None:
+                pen += self._kerning(prev, ch)
+            ipen = math.floor(pen)
+            g = self._glyph(ch, pen - ipen, fy)
+            if g is not None:
+                arr, dx, dy = g
+                ox = ipen + dx
+                pieces.append((arr, ox, dy))
+                h, w = arr.shape
+                if x0 is None:
+                    x0, y0, x1, y1 = ox, dy, ox + w, dy + h
+                else:
+                    x0 = min(x0, ox); y0 = min(y0, dy)
+                    x1 = max(x1, ox + w); y1 = max(y1, dy + h)
+            pen += self._advance(ch)
+            prev = ch
+        if x0 is None:
+            return None
+        # Where adjacent glyphs' AA fringes share a pixel, Pillow blends
+        # each glyph over the accumulated coverage with its exact
+        # integer alpha-over: dst' = src + MULDIV255(dst, 255 - src),
+        # MULDIV255(a, b) = (t = a*b + 128; (t + (t >> 8)) >> 8).
+        # Blit order = glyph order (the blend is not associative).
+        out = np.zeros((y1 - y0, x1 - x0), np.uint32)
+        for arr, ox, oy in pieces:
+            sl = out[oy - y0:oy - y0 + arr.shape[0],
+                     ox - x0:ox - x0 + arr.shape[1]]
+            src = arr.astype(np.uint32)
+            t = sl * (255 - src) + 128
+            sl[...] = src + ((t + (t >> 8)) >> 8)
+        return out.astype(np.uint8), x0, y0
+
+
+_COMPOSERS = {}
+
+
+def _composer_for(font):
+    """Composer keyed by (path, size); only fonts owned by the
+    ``_load_font`` cache are eligible (same guard as ``_text_size``) —
+    buffer-loaded or customized faces rasterize whole lines directly."""
+    path = getattr(font, "path", None)
+    if not (isinstance(path, str) and _load_font(path, font.size) is font):
+        return None
+    key = (path, font.size)
+    comp = _COMPOSERS.get(key)
+    if comp is None:
+        if len(_COMPOSERS) > 64:  # bound raster memory across font sizes
+            _COMPOSERS.clear()
+        comp = _COMPOSERS[key] = _LineComposer(font)
+    return comp
+
+
 def _draw_dilate_bordered(img, xy, line, font, border_size):
     """White text over a black border produced by DILATING the fill mask.
 
@@ -208,20 +335,29 @@ def _draw_dilate_bordered(img, xy, line, font, border_size):
     if not line:
         return
     x, y = xy
-    mask, (dx, dy) = font.getmask2(
-        line, "L", start=(math.modf(x)[0], math.modf(y)[0]))
-    w, h = mask.size
-    if w == 0 or h == 0:
-        return
-    raw = bytes(mask)
-    if border_size > 0:
+    comp = None if not _COMPOSE_SAFE.issuperset(line) else \
+        _composer_for(font)
+    if comp is not None:
+        ink = comp.compose(line, math.modf(x)[0], math.modf(y)[0])
+        if ink is None:
+            return
+        arr, dx, dy = ink
+        fill = Image.fromarray(arr)
+    else:
+        mask, (dx, dy) = font.getmask2(
+            line, "L", start=(math.modf(x)[0], math.modf(y)[0]))
+        w, h = mask.size
+        if w == 0 or h == 0:
+            return
+        raw = bytes(mask)
         arr = np.frombuffer(raw, np.uint8).reshape(h, w)
+        fill = Image.frombytes("L", (w, h), raw)
+    if border_size > 0:
         dil = _dilate(arr, border_size)
         img.paste((0, 0, 0),
                   (int(x) + dx - border_size, int(y) + dy - border_size),
                   Image.fromarray(dil))
-    img.paste((255, 255, 255), (int(x) + dx, int(y) + dy),
-              Image.frombytes("L", (w, h), raw))
+    img.paste((255, 255, 255), (int(x) + dx, int(y) + dy), fill)
 
 
 def caption_image(img, text_lines, font, pos="top", border="dilate"):

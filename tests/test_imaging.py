@@ -164,3 +164,60 @@ def test_dilate_border_surrounds_fill():
                 np.clip(ys + dy, 0, out.shape[0] - 1),
                 np.clip(xs + dx, 0, out.shape[1] - 1),
             ].any()
+
+
+def test_glyph_compose_matches_whole_line_raster():
+    """The glyph-compose fast path (per-glyph rasters blitted at
+    kern-cached pen positions) must produce renders pixel-identical to
+    whole-line ``getmask2`` rasterization — across kerned pairs, spaces,
+    punctuation, subpixel phases, and font sizes."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import (
+        _draw_dilate_bordered, _load_font, packaged_font_path)
+
+    cases = [
+        ("AVATAR WAVY TEXT!", 41, (13.7, 50.2)),
+        ("WHEN YOU REALIZE THE THING 42", 23, (0.0, 0.0)),
+        ("W151 W2992 'QUOTES' ?!.", 33, (99.5, 20.25)),
+        ("LTAVAWAY .,;:!?'\"", 17, (7.125, 3.875)),
+    ]
+    for text, size, xy in cases:
+        font = _load_font(packaged_font_path(), size)  # compose-eligible
+        assert cap._composer_for(font) is not None
+        a = Image.new("RGB", (700, 300), (40, 80, 120))
+        _draw_dilate_bordered(a, xy, text, font, 2)
+        b = Image.new("RGB", (700, 300), (40, 80, 120))
+        orig = cap._COMPOSE_SAFE
+        cap._COMPOSE_SAFE = frozenset()  # force whole-line raster path
+        try:
+            _draw_dilate_bordered(b, xy, text, font, 2)
+        finally:
+            cap._COMPOSE_SAFE = orig
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_glyph_compose_fill_matches_draw_text():
+    """Compose-path white fill lands pixel-identically to ImageDraw.text
+    (the compose-eligible analogue of the raw-path placement test)."""
+    from PIL import ImageDraw
+
+    from deephumor_tpu.imaging.caption import (
+        _draw_dilate_bordered, _load_font, packaged_font_path)
+
+    font = _load_font(packaged_font_path(), 41)
+    for xy in [(13.7, 50.2), (0.0, 0.0), (199.5, 120.9)]:
+        a = Image.new("RGB", (400, 300), (40, 80, 120))
+        ImageDraw.Draw(a).text(xy, "HELLO WORLD", (255, 255, 255),
+                               font=font)
+        b = Image.new("RGB", (400, 300), (40, 80, 120))
+        _draw_dilate_bordered(b, xy, "HELLO WORLD", font, 0)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_non_ascii_takes_whole_line_path():
+    """Lines with chars outside printable ASCII must render through the
+    whole-line rasterizer (contextual shaping can differ per glyph) and
+    still draw correctly."""
+    img = Image.new("RGB", (400, 300), (40, 80, 120))
+    out = np.asarray(memeify_image(img, top="CAFÉ MEMES", bottom=""))
+    assert (out == 255).all(axis=2).any()
