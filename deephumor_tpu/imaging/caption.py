@@ -232,6 +232,7 @@ class _LineComposer:
         self._adv = {}
         self._kern = {}
         self._glyphs = {}
+        self._pair_ok = {}
 
     def _advance(self, c):
         a = self._adv.get(c)
@@ -258,13 +259,55 @@ class _LineComposer:
             self._glyphs[key] = g
         return g
 
+    def _pair_safe(self, a, b):
+        """True iff the pair shapes decomposably — i.e. blitting the two
+        glyphs at kern-adjusted pen positions reproduces ``getmask2(a+b)``
+        ink exactly. A ligature (HarfBuzz substituting one glyph for the
+        sequence, e.g. fi/fl) or any other contextual effect fails this
+        once, is cached, and sends lines containing the pair down the
+        whole-line rasterizer. Validated at phase 0 — substitution is
+        phase-independent."""
+        ok = self._pair_ok.get((a, b))
+        if ok is None:
+            pair = a + b
+            ref, (rdx, rdy) = self.font.getmask2(pair, "L",
+                                                 start=(0.0, 0.0))
+            rw, rh = ref.size
+            got = self._compose_raw(pair, 0.0, 0.0)
+            if got is None:
+                ok = rw == 0 or rh == 0 or not bytes(ref).strip(b"\0")
+            else:
+                arr, gx, gy = got
+                cx0 = min(gx, rdx); cy0 = min(gy, rdy)
+                cx1 = max(gx + arr.shape[1], rdx + rw)
+                cy1 = max(gy + arr.shape[0], rdy + rh)
+                a_c = np.zeros((cy1 - cy0, cx1 - cx0), np.uint8)
+                a_c[gy - cy0:gy - cy0 + arr.shape[0],
+                    gx - cx0:gx - cx0 + arr.shape[1]] = arr
+                b_c = np.zeros_like(a_c)
+                if rw and rh:
+                    b_c[rdy - cy0:rdy - cy0 + rh,
+                        rdx - cx0:rdx - cx0 + rw] = np.frombuffer(
+                            bytes(ref), np.uint8).reshape(rh, rw)
+                ok = np.array_equal(a_c, b_c)
+            self._pair_ok[(a, b)] = ok
+        return ok
+
     def compose(self, line, fx, fy):
         """Ink mask of ``line`` at subpixel start ``(fx, fy)``.
 
         Returns ``(arr, x0, y0)`` — uint8 ink bitmap and its offset from
         the integer anchor (same meaning as ``getmask2``'s offset) — or
-        ``None`` for no ink.
+        ``None`` for no ink. Returns the string ``"unsafe"`` when the
+        line contains a pair that does not shape decomposably (caller
+        must use the whole-line rasterizer).
         """
+        for a, b in zip(line, line[1:]):
+            if not self._pair_safe(a, b):
+                return "unsafe"
+        return self._compose_raw(line, fx, fy)
+
+    def _compose_raw(self, line, fx, fy):
         pieces = []
         x0 = y0 = x1 = y1 = None
         pen = fx
@@ -337,12 +380,16 @@ def _draw_dilate_bordered(img, xy, line, font, border_size):
     x, y = xy
     comp = None if not _COMPOSE_SAFE.issuperset(line) else \
         _composer_for(font)
+    ink = None
     if comp is not None:
         ink = comp.compose(line, math.modf(x)[0], math.modf(y)[0])
         if ink is None:
             return
+        if ink == "unsafe":  # ligature/contextual pair — whole-line path
+            ink = None
+    if ink is not None:
         arr, dx, dy = ink
-        fill = Image.fromarray(arr)
+        fill_mask = Image.fromarray(arr)
     else:
         mask, (dx, dy) = font.getmask2(
             line, "L", start=(math.modf(x)[0], math.modf(y)[0]))
@@ -351,13 +398,19 @@ def _draw_dilate_bordered(img, xy, line, font, border_size):
             return
         raw = bytes(mask)
         arr = np.frombuffer(raw, np.uint8).reshape(h, w)
-        fill = Image.frombytes("L", (w, h), raw)
+        fill_mask = Image.frombytes("L", (w, h), raw)
+    # fills go through ImageDraw.bitmap, not Image.paste: paste takes
+    # raw per-band colors only, while bitmap routes ink through the same
+    # conversion as ImageDraw.text — so non-RGB modes (e.g. palette
+    # templates) accept the tuple inks exactly like the grid/stroke
+    # border modes do (blend is the identical coverage composite)
+    draw = ImageDraw.Draw(img)
     if border_size > 0:
         dil = _dilate(arr, border_size)
-        img.paste((0, 0, 0),
-                  (int(x) + dx - border_size, int(y) + dy - border_size),
-                  Image.fromarray(dil))
-    img.paste((255, 255, 255), (int(x) + dx, int(y) + dy), fill)
+        draw.bitmap((int(x) + dx - border_size, int(y) + dy - border_size),
+                    Image.fromarray(dil), fill=(0, 0, 0))
+    draw.bitmap((int(x) + dx, int(y) + dy), fill_mask,
+                fill=(255, 255, 255))
 
 
 def caption_image(img, text_lines, font, pos="top", border="dilate"):

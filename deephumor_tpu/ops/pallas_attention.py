@@ -500,13 +500,11 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     scale = float(head_dim) ** 0.5
     assert p % 8 == 0, p
 
-    pe_budget = p if p_eff is None else min(p_eff, p)
+    pe = p if p_eff is None else min(p_eff, p)
     if block_items is None:
         # double-buffered K/V blocks + tile scratch must fit scoped VMEM
-        block_items = 16 if pe_budget <= 16 else 8
+        block_items = 16 if pe <= 16 else 8
     block_items = _pick_block_items(block_items, num_items, beam)
-
-    pe = p if p_eff is None else min(p_eff, p)
     assert pe % 8 == 0, (pe, p)
     if interpret and pe != p:
         # the interpreter mis-shapes ALIASED buffers whose block (pe) does

@@ -221,3 +221,45 @@ def test_non_ascii_takes_whole_line_path():
     img = Image.new("RGB", (400, 300), (40, 80, 120))
     out = np.asarray(memeify_image(img, top="CAFÉ MEMES", bottom=""))
     assert (out == 255).all(axis=2).any()
+
+
+def test_glyph_compose_lowercase_and_ligature_pairs():
+    """Lowercase text (potential fi/fl ligatures under HarfBuzz) must
+    render pixel-identically to the whole-line rasterizer: pairs that
+    don't shape decomposably are detected by the composer's per-pair
+    self-validation and the line falls back."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import (
+        _draw_dilate_bordered, _load_font, packaged_font_path)
+
+    font = _load_font(packaged_font_path(), 29)
+    for text in ["finally fine flags", "off the waffle", "mixed Case fi"]:
+        a = Image.new("RGB", (700, 300), (40, 80, 120))
+        _draw_dilate_bordered(a, (10.5, 40.25), text, font, 2)
+        b = Image.new("RGB", (700, 300), (40, 80, 120))
+        orig = cap._COMPOSE_SAFE
+        cap._COMPOSE_SAFE = frozenset()
+        try:
+            _draw_dilate_bordered(b, (10.5, 40.25), text, font, 2)
+        finally:
+            cap._COMPOSE_SAFE = orig
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_glyph_compose_unsafe_pair_detection():
+    """A synthetic non-decomposable pair must be flagged unsafe and
+    force the fallback (exercises the detection machinery even when the
+    packaged font has no ligatures)."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import _load_font, packaged_font_path
+
+    font = _load_font(packaged_font_path(), 29)
+    comp = cap._LineComposer(font)
+    # sane pairs validate as safe
+    assert comp._pair_safe("A", "V")
+    assert comp.compose("AV", 0.0, 0.0) != "unsafe"
+    # poison the cache to emulate a ligating pair
+    comp._pair_ok[("A", "V")] = False
+    assert comp.compose("AV", 0.0, 0.0) == "unsafe"
+    assert comp.compose("HAVE", 0.0, 0.0) == "unsafe"
+    assert comp.compose("HOME", 0.0, 0.0) != "unsafe"
