@@ -92,7 +92,10 @@ def _default_attn_impl(num_items=None):
     the kernel's grid amortization needs several row-blocks to win
     (measured: xla ~30 ms vs pallas ~32 ms single-meme p50, flipping to
     pallas 3.17 ms vs xla 4.19 ms per step at 224 memes)."""
-    if jax.default_backend() == "cpu":
+    # the Pallas kernels use TPU-only primitives (pltpu) — any non-TPU
+    # accelerator (gpu/rocm) must take the einsum path, not just CPU;
+    # unknown platform names (e.g. TPU-tunnel plugins) are treated as TPU
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         return "xla"
     if num_items is not None and num_items < 8:
         return "xla"
@@ -107,6 +110,13 @@ def _compiled_generate(model, from_images, prefix_len, max_len, beam_size,
     static sampler config). Models are frozen dataclasses, so they hash into
     the cache key; params/inputs/key/temperature stay dynamic — re-calling
     with new weights, images, or temperature hits the same executable."""
+    if (compact or canon) and not attn.startswith("pallas"):
+        # both features live inside the pallas decode path (dynamic-grid
+        # dead-block skipping / shared-prefix kernels); with the einsum
+        # impl they would silently no-op while still carrying their state
+        raise ValueError(
+            f"compact/canon require a pallas attn impl, got attn={attn!r}"
+        )
 
     def fn(params, x, key, caption, temperature):
         if from_images:

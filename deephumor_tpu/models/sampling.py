@@ -122,7 +122,7 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
             ).astype(jnp.bfloat16)
             tokens, vals = fused_topk_gumbel_sample(
                 flat, seed, inv_t, top_k=top_k, num_draws=k,
-                unk_index=unk_index,
+                unk_index=unk_index, live_rows=live_rows,
             )
         elif classifier is not None:
             # ``logits`` is the pre-classifier hidden state; the matmul
@@ -140,7 +140,7 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
             flat = logits.reshape(-1, shape[-1])
             tokens, vals = fused_topk_gumbel_sample(
                 flat, seed, inv_t, top_k=top_k, num_draws=k,
-                unk_index=unk_index,
+                unk_index=unk_index, live_rows=live_rows,
             )
         scores = vals - jax.nn.logsumexp(vals, axis=-1, keepdims=True)
         out_shape = shape[:-1] + (k,)
@@ -162,9 +162,23 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
     vals = jnp.where(idx == unk_index, NEG_INF, vals)
     pick = _select_k(key, vals * inv_t, k, greedy)  # [..., k] in K-space
     picked_vals = jnp.take_along_axis(vals, pick, axis=-1)
+    # Exhausted-support guard (the pallas kernel's bug class, fixed there
+    # first): with beam_size == top_k and UNK inside the top-K set there
+    # are fewer kept candidates than draws, so a draw can land on a
+    # filtered (-inf) slot — silently emitting UNK, and producing NaN
+    # scores at top_k == 1. Such draws fall back to the best unfiltered
+    # candidate. A fully filtered row (top_k == 1 with UNK as argmax)
+    # emits token 0 at score 0, matching the kernel's column-0 fallback
+    # (the reference raises from torch.multinomial here, beam.py:46).
+    best = jnp.argmax(vals, axis=-1, keepdims=True)
+    pick = jnp.where(picked_vals == NEG_INF, best, pick)
+    picked_vals = jnp.take_along_axis(vals, pick, axis=-1)
+    tokens = jnp.take_along_axis(idx, pick, axis=-1)
+    row_dead = picked_vals == NEG_INF  # only when EVERY candidate filtered
+    tokens = jnp.where(row_dead, 0, tokens)
+    picked_vals = jnp.where(row_dead, 0.0, picked_vals)
     scores = picked_vals - jax.nn.logsumexp(picked_vals, axis=-1,
                                             keepdims=True)
-    tokens = jnp.take_along_axis(idx, pick, axis=-1)
     return tokens, scores
 
 

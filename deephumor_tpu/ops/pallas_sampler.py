@@ -175,7 +175,7 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
 )
 def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
                              num_draws, unk_index=1, block_rows=128,
-                             interpret=False):
+                             interpret=False, live_rows=None):
     """Draws ``num_draws`` tokens/row ~ softmax(top_k_filter(logits)/T).
 
     Args:
@@ -184,6 +184,10 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
         inv_temperature: f32 scalar (traced).
         top_k: filter size (ties at the threshold kept).
         num_draws: tokens per row, without replacement.
+        live_rows: optional traced int32 — live-row count; row blocks past
+            it (a compacted-dead suffix) never run, returning stale
+            garbage the engine masks (same contract as the fused
+            classifier variant).
 
     Returns:
         (ids ``[rows, num_draws]`` int32,
@@ -206,7 +210,15 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
     # output columns padded to the 128-lane tile
     out_cols = 128
 
-    grid = (padded_rows // block,)
+    n_blocks = padded_rows // block
+    if live_rows is None:
+        grid = (n_blocks,)
+    else:
+        # dynamic grid: dead (compacted-suffix) row blocks never run
+        nlive = jnp.clip(
+            (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
+            1, n_blocks)
+        grid = (nlive,)
     kernel = functools.partial(
         _kernel, top_k=top_k, num_draws=num_draws, unk_index=unk_index,
         vocab=vocab,

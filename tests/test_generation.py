@@ -357,3 +357,49 @@ class TestEngineEdgeCases:
         )
         for k in ("chosen", "sequences", "scores", "ended"):
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_xla_exhausted_support_no_unk_no_nan():
+    # beam_size == top_k with UNK inside the top-K set: the kept support
+    # has fewer candidates than draws. The XLA exact path must not emit
+    # UNK or NaN scores (the pallas kernel's bug class, fixed there
+    # first); draws falling on filtered slots take the best unfiltered
+    # candidate instead.
+    from deephumor_tpu.models.sampling import _topk_space_draw
+
+    V = 32
+    row = np.full((4, V), -10.0, np.float32)
+    row[:, :3] = [3.0, 2.0, 1.0]
+    row[:, 1] = 4.0  # UNK (index 1) on top, inside the top_k=3 set
+    for greedy in (False, True):
+        tokens, scores = _topk_space_draw(
+            jax.random.PRNGKey(0), jnp.asarray(row), top_k=3, k=3,
+            inv_t=jnp.float32(1.0), greedy=greedy, unk_index=1)
+        tokens = np.asarray(tokens); scores = np.asarray(scores)
+        assert (tokens != 1).all(), tokens
+        assert (tokens >= 0).all() and (tokens < V).all()
+        assert np.isfinite(scores).all(), scores
+    # ultra-degenerate: top_k == 1 and UNK is the argmax — token 0 at
+    # finite score (reference raises here; kernel falls back to column 0)
+    tokens, scores = _topk_space_draw(
+        jax.random.PRNGKey(0), jnp.asarray(row), top_k=1, k=1,
+        inv_t=jnp.float32(1.0), greedy=False, unk_index=1)
+    assert (np.asarray(tokens) == 0).all()
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_compact_requires_pallas_attn():
+    from deephumor_tpu.models import CaptioningTransformer
+
+    model = CaptioningTransformer(
+        num_tokens=64, hid_dim=32, n_layers=2, n_heads=2, pf_dim=64,
+        max_len=20,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    spa = jnp.asarray(rng.normal(size=(4, 49, 32)).astype(np.float32))
+    with pytest.raises(ValueError, match="pallas"):
+        model.generate_from_emb(
+            params, (emb, spa), key=jax.random.PRNGKey(1), max_len=8,
+            beam_size=2, top_k=4, attn="xla", compact=True)

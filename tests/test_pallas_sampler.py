@@ -133,3 +133,21 @@ def test_fused_classifier_matches_separate_path():
             # bias-add rounding)
             assert logits[r, ids[r, j]] >= kth[r] - 0.15
             assert abs(vals[r, j] - logits[r, ids[r, j]]) < 0.15
+
+
+def test_live_rows_skips_dead_suffix_standalone():
+    # the standalone kernel's dynamic grid: live-prefix rows draw exactly
+    # as without live_rows; the dead suffix's content is unspecified
+    # (engine masks it) but must not perturb live rows
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(16, V)).astype(np.float32))
+    ids_full, vals_full = fused_topk_gumbel_sample(
+        x, 9, 1.0, top_k=K, num_draws=D, block_rows=4, interpret=True)
+    ids_live, vals_live = fused_topk_gumbel_sample(
+        x, 9, 1.0, top_k=K, num_draws=D, block_rows=4, interpret=True,
+        live_rows=jnp.int32(6))
+    # 6 live rows -> ceil(6/4)=2 blocks -> first 8 rows computed
+    np.testing.assert_array_equal(np.asarray(ids_full)[:8],
+                                  np.asarray(ids_live)[:8])
+    np.testing.assert_array_equal(np.asarray(vals_full)[:8],
+                                  np.asarray(vals_live)[:8])
