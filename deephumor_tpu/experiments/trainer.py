@@ -71,7 +71,17 @@ def make_optimizer(learning_rate=1e-3, clip_norm=3.0, params=None,
         opt = optax.adam(lr)
     tx = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     if params is not None:
-        tx = optax.masked(tx, frozen_mask(params))
+        # optax.masked only hides masked-out leaves from the INNER
+        # transform — their raw gradients pass through unchanged and
+        # apply_updates would ADD them. Zero the frozen partition
+        # structurally instead of relying on the forward's stop_gradient
+        # to make those grads zero.
+        mask = frozen_mask(params)
+        inv = jax.tree.map(lambda m: not m, mask)
+        tx = optax.chain(
+            optax.masked(tx, mask),
+            optax.masked(optax.set_to_zero(), inv),
+        )
     return tx
 
 
@@ -153,7 +163,7 @@ class Trainer:
         self._trunk_cache = None
 
     # -- state -------------------------------------------------------------
-    def init_state(self, key, sample_batch=None, params=None):
+    def init_state(self, key, params=None):
         """Builds {params, opt_state, step}. ``params`` may come from
         init(), from_torch, or from_pretrained."""
         if params is None:
@@ -306,6 +316,7 @@ class Trainer:
             from deephumor_tpu.parallel import shard_batch
 
         total_loss = total_pp = total_n = 0
+        deferred = []
         for batch in dataloader:
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
@@ -324,6 +335,13 @@ class Trainer:
                                           metrics["grad_norm"], it)
             else:
                 metrics = self._eval_step(state["params"], batch)
+            if writer is None:
+                # no logging -> no reason to block the device queue on a
+                # per-batch host fetch; keep the scalars on device and
+                # check finiteness once at epoch end (divergence is still
+                # caught, one epoch later at worst)
+                deferred.append((metrics["loss"], metrics["perplexity"], n))
+                continue
             loss_value = float(metrics["loss"])
             if not np.isfinite(loss_value):
                 # failure detection: halt on divergence instead of training
@@ -335,6 +353,19 @@ class Trainer:
             total_loss += loss_value * n
             total_pp += float(metrics["perplexity"]) * n
             total_n += n
+
+        if deferred:
+            losses = np.asarray(jnp.stack([d[0] for d in deferred]))
+            pps = np.asarray(jnp.stack([d[1] for d in deferred]))
+            ns = np.asarray([d[2] for d in deferred], np.float64)
+            if not np.isfinite(losses).all():
+                bad = int(np.argmax(~np.isfinite(losses)))
+                raise FloatingPointError(
+                    f"non-finite loss {losses[bad]} at batch {bad} ({phase})"
+                )
+            total_loss += float(losses @ ns)
+            total_pp += float(pps @ ns)
+            total_n += int(ns.sum())
 
         epoch_loss = total_loss / max(total_n, 1)
         epoch_pp = total_pp / max(total_n, 1)

@@ -41,7 +41,8 @@ from deephumor_tpu.ops import pallas_attention as pallas_attn
 # timing-probe knob, read ONCE at import: it changes the traced program,
 # and the engine's compiled-generate lru_cache does not key on it — a
 # mid-process toggle would silently reuse the stale executable.
-_CANON_NO_IDS = bool(os.environ.get("DH_CANON_NO_IDS"))
+_CANON_NO_IDS = os.environ.get("DH_CANON_NO_IDS", "").lower() in (
+    "1", "true", "yes", "on")
 
 __all__ = [
     "mha_init",
@@ -236,6 +237,12 @@ def transformer_encoder_forward(params, tokens, n_heads, pad_index=None,
     """
     bs, t = tokens.shape
     hid_dim = params["tok_embedding"]["table"].shape[1]
+    pos_rows = params["pos_embedding"]["table"].shape[0]
+    if t > pos_rows:
+        raise ValueError(
+            f"positional table has {pos_rows} rows but the sequence "
+            f"needs {t}; construct the encoder with max_len >= {t}"
+        )
     emb = L.embed(params["tok_embedding"], tokens) / math.sqrt(hid_dim)
     emb = emb + L.embed(params["pos_embedding"], jnp.arange(t)[None, :])
 
@@ -347,6 +354,16 @@ def transformer_decoder_forward(params, tokens, enc_out, start_emb, n_heads,
     tok_emb = jnp.concatenate([start_emb[:, None, :], tok_emb], axis=1)
     tok_emb = tok_emb / scale
 
+    pos_rows = params["pos_embedding"]["table"].shape[0]
+    if seq_len > pos_rows:
+        # same loud failure as transformer_decoder_forward: jnp.take
+        # would silently clamp and reuse the last position's embedding
+        # (the reference IndexErrors here)
+        raise ValueError(
+            f"positional table has {pos_rows} rows but the sequence "
+            f"needs {seq_len}; construct the model with max_len >= "
+            f"{seq_len}"
+        )
     pos = jnp.arange(seq_len)[None, :]
     emb = tok_emb + L.embed(params["pos_embedding"], pos)
 
@@ -388,6 +405,16 @@ def self_attn_decoder_forward(params, tokens, start_emb, n_heads,
     tok_emb = jnp.concatenate([start_emb[:, None, :], tok_emb], axis=1)
     tok_emb = tok_emb / scale
 
+    pos_rows = params["pos_embedding"]["table"].shape[0]
+    if seq_len > pos_rows:
+        # same loud failure as transformer_decoder_forward: jnp.take
+        # would silently clamp and reuse the last position's embedding
+        # (the reference IndexErrors here)
+        raise ValueError(
+            f"positional table has {pos_rows} rows but the sequence "
+            f"needs {seq_len}; construct the model with max_len >= "
+            f"{seq_len}"
+        )
     pos = jnp.arange(seq_len)[None, :]
     emb = tok_emb + L.embed(params["pos_embedding"], pos)
 

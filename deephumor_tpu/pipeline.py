@@ -47,13 +47,16 @@ class MemeGenerationPipeline:
         self.delimiter = delimiter
         self.font_path = font_path
         self.render_workers = render_workers
-        self._cache = {}  # template id -> encoded features (row views)
         self._images = {}  # template id -> PIL image (for rendering)
         # stacked feature store: one device array per feature leaf with a
         # row per template; lookups are a single gather instead of an
-        # n-way concat per generate call
+        # n-way concat per generate call. New encodings buffer in
+        # ``_pending`` and consolidate lazily on first use — one concat
+        # per generate call, not one per add_template (O(n^2) copies)
         self._stacked = None
-        self._row = {}  # template id -> row index
+        self._pending = []  # encoded pytrees awaiting consolidation
+        self._row = {}  # template id -> row index in the stacked store
+        self._n_rows = 0
 
     # -- template cache ------------------------------------------------------
     def add_template(self, template_id, image, pil_image=None,
@@ -75,7 +78,6 @@ class MemeGenerationPipeline:
             )
         else:
             enc = self.model.encode(self.params, jnp.asarray(image)[None])
-        self._cache[template_id] = enc
         self._append_stacked([template_id], enc)
         if pil_image is not None:
             # eager-load: a template is rendered by multiple worker threads
@@ -114,10 +116,6 @@ class MemeGenerationPipeline:
                 enc = self.model.encode(self.params, pick(images))
             if pad:
                 enc = jax.tree.map(lambda x: x[: len(chunk)], enc)
-            for j, tid in enumerate(chunk):
-                self._cache[tid] = jax.tree.map(
-                    lambda x: x[j : j + 1], enc
-                )
             self._append_stacked(chunk, enc)
             if pil_images is not None:
                 for j, tid in enumerate(chunk):
@@ -128,16 +126,21 @@ class MemeGenerationPipeline:
 
     def _append_stacked(self, ids, enc):
         for j, tid in enumerate(ids):
-            self._row[tid] = len(self._row)
-        if self._stacked is None:
-            self._stacked = enc
-        else:
-            self._stacked = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=0),
-                self._stacked, enc,
-            )
+            # a re-added id points at its FRESH rows (the stale rows stay
+            # allocated but unreferenced — refreshes are rare); row ids
+            # count all appended rows, never dict size, so later
+            # templates cannot collide with a refreshed one
+            self._row[tid] = self._n_rows + j
+        self._n_rows += len(ids)
+        self._pending.append(enc)
 
     def _stack_features(self, ids):
+        if self._pending:
+            trees = self._pending if self._stacked is None else \
+                [self._stacked] + self._pending
+            self._stacked = trees[0] if len(trees) == 1 else jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+            self._pending = []
         idx = jnp.asarray([self._row[tid] for tid in ids], jnp.int32)
         return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), self._stacked)
 

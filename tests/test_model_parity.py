@@ -262,3 +262,27 @@ def test_rectangular_forward_matches_padded():
             model.forward(params, imgs, caps, rectangular=True))
         assert rect.shape == (2, t + 1, 128)
         np.testing.assert_allclose(rect, padded[:, : t + 1], atol=1e-5)
+
+
+def test_self_attn_decoder_pos_table_bound_check():
+    # the decoder-only forward must fail loudly (not silently clamp the
+    # positional gather) when the sequence outgrows the table — same
+    # contract as the cross-attention forward
+    import jax
+
+    from deephumor_tpu.models import CaptioningTransformerBase
+
+    model = CaptioningTransformerBase(
+        num_tokens=32, hid_dim=16, n_layers=1, n_heads=2, pf_dim=24,
+        max_len=8,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    # 10 tokens + the prepended image embedding = 11 positions > 8 rows
+    toks = jnp.asarray(rng.integers(6, 32, size=(2, 10)), jnp.int32)
+    with pytest.raises(ValueError, match="positional table"):
+        tfm.self_attn_decoder_forward(
+            params["decoder"]["transformer"]
+            if "transformer" in params.get("decoder", {})
+            else params["decoder"], toks, img, n_heads=2)

@@ -33,7 +33,7 @@ def test_pipeline_end_to_end(setup):
     images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
     pils = [Image.new("RGB", (200, 150), (90, 110, 130)) for _ in range(3)]
     pipe.add_templates(["a", "b", "c"], images, pil_images=pils)
-    assert set(pipe._cache) == {"a", "b", "c"}
+    assert set(pipe._row) == {"a", "b", "c"}
 
     # 2 captions per template via repeated ids
     ids = ["a", "a", "b", "b", "c", "c"]
@@ -135,3 +135,31 @@ def test_generate_memes_batched_overlap(setup):
     for tid, text, img in out:
         assert isinstance(text, str)
         assert img is None or img.size
+
+
+def test_template_refresh_keeps_rows_consistent(setup):
+    # re-adding an existing template must not corrupt later row indices
+    # (regression: row ids derived from dict size collided after refresh)
+    model, params, vocab = setup
+    pipe = MemeGenerationPipeline(model, params, vocab)
+    rng = np.random.default_rng(5)
+
+    def mk_img(i):
+        return rng.normal(size=(32, 32, 3)).astype(np.float32)
+
+    pipe.add_template("a", mk_img(0))
+    pipe.add_template("b", mk_img(1))
+    refreshed = mk_img(2)
+    pipe.add_template("a", refreshed)  # refresh
+    pipe.add_template("c", mk_img(3))
+    feats = pipe._stack_features(["a", "b", "c"])
+    leaf = jax.tree.leaves(feats)[0]
+    assert leaf.shape[0] == 3
+    rows = {tid: pipe._row[tid] for tid in "abc"}
+    assert len(set(rows.values())) == 3, rows
+    # the refreshed template serves its NEW features
+    want = jax.tree.leaves(
+        pipe.model.encode(pipe.params, jnp.asarray(refreshed)[None]))[0]
+    got = jax.tree.leaves(pipe._stack_features(["a"]))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6)

@@ -347,3 +347,29 @@ class TestTrunkCache:
         captions = rng.integers(6, 32, (2, 8)).astype(np.int32)
         with pytest.raises(ValueError, match="positional table"):
             model.forward(params, images, captions)
+
+
+def test_frozen_partition_updates_are_structurally_zero():
+    # optax.masked alone passes raw gradients through for mask=False
+    # leaves; the optimizer must zero them structurally so frozen params
+    # stay fixed even when their gradients are nonzero (regression)
+    import optax
+
+    from deephumor_tpu.experiments.trainer import make_optimizer
+
+    params = {
+        "resnet": {"conv": jnp.ones((3, 3))},
+        "bn": {"mean": jnp.zeros((4,)), "var": jnp.ones((4,))},
+        "decoder": {"kernel": jnp.ones((2, 2))},
+    }
+    tx = make_optimizer(learning_rate=0.1, params=params)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(lambda x: jnp.ones_like(x) * 7.0, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert np.all(np.asarray(updates["resnet"]["conv"]) == 0.0)
+    assert np.all(np.asarray(updates["bn"]["mean"]) == 0.0)
+    assert np.all(np.asarray(updates["bn"]["var"]) == 0.0)
+    assert np.any(np.asarray(updates["decoder"]["kernel"]) != 0.0)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["resnet"]["conv"]),
+                                  np.asarray(params["resnet"]["conv"]))
