@@ -43,7 +43,15 @@ def _enable_persistent_compile_cache():
         # JAX_PLATFORMS unset), not just the env var. The env fast-path
         # avoids initializing the backend when it already answers.
         platforms = _os.environ.get("JAX_PLATFORMS", "")
-        if platforms.startswith("cpu"):
+        try:
+            # a caller (or conftest/site hook) may have overridden the
+            # platform via jax.config BEFORE importing this package —
+            # the config value wins over the env var at backend init,
+            # so it must win here too
+            platforms = jax.config.jax_platforms or platforms
+        except AttributeError:
+            pass
+        if str(platforms).startswith("cpu"):
             return
         if not platforms and jax.default_backend() == "cpu":
             return

@@ -54,7 +54,8 @@ def default_fetch(url, num_retries=10, backoff=0.5):
                 return r.content
         except requests.RequestException:
             pass
-        time.sleep(backoff * (2 ** min(attempt, 4)))
+        if attempt + 1 < num_retries:  # no backoff after the last attempt
+            time.sleep(backoff * (2 ** min(attempt, 4)))
     print(f"Failed to load {url}")
     return None
 
@@ -95,7 +96,7 @@ class MemeGeneratorCrawler:
 
     def __init__(self, poolsize=8, min_len=10, max_len=96, max_tokens=31,
                  detect_english=False, detect_duplicates=False,
-                 fetch=default_fetch):
+                 fetch=default_fetch, batch_sleep=0.3, grid_sleep=0.5):
         self.poolsize = poolsize
         self.min_len = min_len
         self.max_len = max_len
@@ -103,6 +104,11 @@ class MemeGeneratorCrawler:
         self.detect_english = detect_english
         self.detect_duplicates = detect_duplicates
         self.fetch = fetch
+        # the reference's politeness throttles (crawlers.py:188,303):
+        # pause between caption-page batches and between grid pages so a
+        # wide pool doesn't hammer the site; tests pass 0
+        self.batch_sleep = batch_sleep
+        self.grid_sleep = grid_sleep
 
     # -- per-template pipeline ---------------------------------------------
     def _clean_filter(self, memes):
@@ -118,13 +124,22 @@ class MemeGeneratorCrawler:
 
     def _fetch_caption_pages(self, executor, link, pages):
         """Fetches caption pages concurrently, returning filtered triples."""
+        if self.batch_sleep:
+            time.sleep(self.batch_sleep)
         futures = [
             executor.submit(crawl_template_page, link, p, self.fetch)
             for p in pages
         ]
         captions = []
         for fut in futures:
-            _, memes, _ = fut.result()
+            try:
+                _, memes, _ = fut.result()
+            except Exception as e:  # noqa: BLE001 — one malformed page
+                # (empty body -> lxml ParserError, odd score text, ...)
+                # must not abort a multi-hour crawl; the reference's pool
+                # callbacks silently skipped such pages
+                print(f"    caption page failed: {e!r}")
+                continue
             if memes:
                 captions += self._clean_filter(memes)
         return captions
@@ -156,15 +171,27 @@ class MemeGeneratorCrawler:
 
     def collect_template_captions(self, executor, link, num_captions,
                                   max_extra_rounds=20):
-        """Gathers (and optionally dedups) captions for one template."""
+        """Gathers (and optionally dedups) captions for one template.
+
+        Returns ``(captions, eng)`` where ``eng`` is ``None`` when the
+        English gate is off, else ``(ok, prob)``. The gate runs on the
+        INITIAL page batch, BEFORE the duplicate top-up loop (reference
+        crawlers.py:202-207 order) — a non-English template must not pay
+        up to ~180 extra page fetches and the O(n^2) dedup first."""
         num_pages = max(1, num_captions // self.CAPTIONS_PER_PAGE)
         num_pages += 10 - num_pages % 10  # reference page-count rounding
         captions = self._fetch_caption_pages(
             executor, link, range(1, num_pages + 1)
         )
 
+        eng = None
+        if self.detect_english:
+            eng = self._is_english(captions)
+            if not eng[0]:
+                return captions, eng
+
         if not self.detect_duplicates:
-            return captions
+            return captions, eng
 
         seen = []
         unique = self._dedup(captions, seen)
@@ -179,7 +206,7 @@ class MemeGeneratorCrawler:
             unique += self._dedup(more, seen)
             page += 9
             rounds += 1
-        return unique
+        return unique, eng
 
     # -- dataset loop --------------------------------------------------------
     def crawl_dataset(self, num_templates=300, num_captions=3000,
@@ -200,6 +227,8 @@ class MemeGeneratorCrawler:
                 open(os.path.join(save_dir, "captions.txt"), "a") as cf, \
                 ThreadPoolExecutor(self.poolsize) as executor:
             while total_templates < num_templates:
+                if temp_page > 1 and self.grid_sleep:
+                    time.sleep(self.grid_sleep)
                 templates = crawl_templates(temp_page, self.fetch)
                 if not templates:
                     break
@@ -210,17 +239,15 @@ class MemeGeneratorCrawler:
                     label, link, src = (
                         temp["label"], temp["link"], temp["src"]
                     )
-                    captions = self.collect_template_captions(
+                    captions, eng = self.collect_template_captions(
                         executor, link, num_captions
                     )
 
-                    if self.detect_english:
-                        ok, prob = self._is_english(captions)
-                        if not ok:
-                            print(f"{progress()}:    NON_ENGLISH {label} - "
-                                  f"{len(captions)} captions "
-                                  f"(eng:{prob:.3f})")
-                            continue
+                    if eng is not None and not eng[0]:
+                        print(f"{progress()}:    NON_ENGLISH {label} - "
+                              f"{len(captions)} captions "
+                              f"(eng:{eng[1]:.3f})")
+                        continue
 
                     if len(captions) < num_captions:
                         print(f"{progress()}:    NOT_ENOUGH {label} - "

@@ -13,7 +13,9 @@ import re
 
 __all__ = ["parse_templates_page", "parse_template_captions_page"]
 
-_SCORE_PATTERN = re.compile(r"(-?[\d,]+)")
+# leading digit required: a bare comma run would int("") (reference
+# pattern r"(-?\d+(,\d*)?)" had the same guarantee)
+_SCORE_PATTERN = re.compile(r"(-?\d[\d,]*)")
 
 
 def parse_templates_page(content):

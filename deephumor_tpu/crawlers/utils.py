@@ -17,7 +17,9 @@ def load_image(image_url, save_dir=".", session=None):
     import requests
 
     get = (session or requests).get
-    r = get(image_url, stream=True)
+    # timeout: a stalled image host must not hang a worker thread forever
+    # (crawl_dataset joins the pool on exit)
+    r = get(image_url, stream=True, timeout=30)
     file_name = image_url.split("/")[-1]
     with open(os.path.join(save_dir, file_name), "wb") as out:
         shutil.copyfileobj(r.raw, out)

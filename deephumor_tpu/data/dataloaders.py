@@ -13,6 +13,17 @@ import numpy as np
 __all__ = ["pad_collate", "BatchIterator"]
 
 
+def pad_ids(seqs, length, pad_value=0):
+    """[n, length] int32 matrix: each sequence truncated to ``length``
+    and padded with ``pad_value`` (the one pad-and-truncate used by the
+    collator and the dataset fast path — keep them in lockstep)."""
+    out = np.full((len(seqs), length), pad_value, np.int32)
+    for i, s in enumerate(seqs):
+        s = s[:length]
+        out[i, : len(s)] = s
+    return out
+
+
 def pad_collate(batch, max_caption_len=None, max_label_len=None,
                 pad_value=0):
     """Collates (label_ids, caption_ids, image) triples into fixed-shape
@@ -22,16 +33,9 @@ def pad_collate(batch, max_caption_len=None, max_label_len=None,
     lab_len = max_label_len or max(len(l) for l in labels)
     cap_len = max_caption_len or max(len(c) for c in captions)
 
-    def pad_to(seqs, length):
-        out = np.full((len(seqs), length), pad_value, np.int32)
-        for i, s in enumerate(seqs):
-            s = s[:length]
-            out[i, : len(s)] = s
-        return out
-
     return {
-        "labels": pad_to(labels, lab_len),
-        "captions": pad_to(captions, cap_len),
+        "labels": pad_ids(labels, lab_len, pad_value),
+        "captions": pad_ids(captions, cap_len, pad_value),
         "images": np.stack(images).astype(np.float32),
     }
 
@@ -72,6 +76,15 @@ class BatchIterator:
             and getattr(dataset, "preload_images", False)
         ):
             self._mat = dataset.materialize(max_caption_len, max_label_len)
+        elif image_rows is not None:
+            # image_rows (the trunk-feature-cache mode) only flows through
+            # the materialized fast path; silently yielding full images
+            # instead would erase the ~16x trunk-cache speedup the caller
+            # asked for
+            raise ValueError(
+                "image_rows requires the fast path (fast=True and a "
+                "dataset with materialize() + preload_images)"
+            )
 
     def __len__(self):
         n = len(self.dataset)
@@ -90,9 +103,13 @@ class BatchIterator:
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         for start in range(0, stop, self.batch_size):
             idx = order[start : start + self.batch_size]
-            if not self.drop_last and len(idx) < self.batch_size:
+            n_real = len(idx)
+            if not self.drop_last and n_real < self.batch_size:
+                # keep ONE compiled batch shape by repeating the last
+                # example; "row_valid" marks the real rows so the Trainer
+                # excludes the duplicates from loss/metrics exactly
                 idx = np.concatenate(
-                    [idx, np.repeat(idx[-1], self.batch_size - len(idx))]
+                    [idx, np.repeat(idx[-1], self.batch_size - n_real)]
                 )
             if self._mat is not None:
                 keys = self._mat["image_keys"]
@@ -109,9 +126,14 @@ class BatchIterator:
                     batch["images"] = np.stack(
                         [self.dataset.images[keys[int(i)]] for i in idx]
                     ).astype(np.float32)
+                if n_real < len(idx):
+                    batch["row_valid"] = np.arange(len(idx)) < n_real
                 yield batch
             else:
                 batch = [self.dataset[int(i)] for i in idx]
-                yield pad_collate(
+                batch = pad_collate(
                     batch, self.max_caption_len, self.max_label_len
                 )
+                if n_real < len(idx):
+                    batch["row_valid"] = np.arange(len(idx)) < n_real
+                yield batch

@@ -156,18 +156,13 @@ class MemeDataset:
                 unique_labels, self.vocab, mode, max_label_len
             )
         else:  # custom tokenizer: exact per-item python path
-            def pad(seqs, length):
-                out = np.zeros((len(seqs), length), np.int32)
-                for i, s in enumerate(seqs):
-                    s = s[:length]
-                    out[i, : len(s)] = s
-                return out
+            from deephumor_tpu.data.dataloaders import pad_ids
 
-            cap_ids = pad(
+            cap_ids = pad_ids(
                 [self._preprocess_text(t) for t in caption_texts],
                 max_caption_len,
             )
-            lab_ids = pad(
+            lab_ids = pad_ids(
                 [self._preprocess_text(t) for t in unique_labels],
                 max_label_len,
             )

@@ -11,19 +11,25 @@ import jax.numpy as jnp
 __all__ = ["perplexity", "masked_cross_entropy"]
 
 
-def perplexity(logits, targets, lengths, pad_index=0):
+def perplexity(logits, targets, lengths, pad_index=0, row_weights=None):
     """Mean per-sequence perplexity.
 
     Args:
         logits: ``[bs, T, V]``.
         targets: ``[bs, T]`` token ids.
         lengths: ``[bs]`` true lengths (non-pad counts).
+        row_weights: optional ``[bs]`` 0/1 — rows weighted into the mean
+            (duplicated tail-padding rows pass 0 so they don't bias it).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     tgt_logp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    tgt_logp = tgt_logp / lengths[:, None]
+    tgt_logp = tgt_logp / jnp.maximum(lengths, 1)[:, None]
     tgt_logp = jnp.where(targets == pad_index, 0.0, tgt_logp)
-    return jnp.mean(jnp.exp(-jnp.sum(tgt_logp, axis=-1)))
+    pp = jnp.exp(-jnp.sum(tgt_logp, axis=-1))
+    if row_weights is None:
+        return jnp.mean(pp)
+    w = row_weights.astype(pp.dtype)
+    return jnp.sum(pp * w) / jnp.maximum(jnp.sum(w), 1)
 
 
 def masked_cross_entropy(logits, targets, pad_index=0):

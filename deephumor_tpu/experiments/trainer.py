@@ -247,12 +247,20 @@ class Trainer:
 
         def loss_fn(params, batch, rng, train):
             captions = batch["captions"]
+            row_valid = batch.get("row_valid")
+            if row_valid is not None:
+                # tail batches keep a single compiled shape by duplicating
+                # the last example; masking those rows to all-pad removes
+                # them from the CE exactly, and row_weights removes them
+                # from the perplexity mean
+                captions = jnp.where(row_valid[:, None], captions, pad)
             max_len = captions.shape[1]
             lengths = jnp.sum(captions != pad, axis=1)
             logits, new_params = compute_logits(params, batch, train, rng)
             logits = logits[:, :max_len].astype(jnp.float32)
             loss = masked_cross_entropy(logits, captions, pad)
-            pp = perplexity(logits, captions, lengths, pad)
+            pp = perplexity(logits, captions, lengths, pad,
+                            row_weights=row_valid)
             # only the encoder sub-tree of new_params carries state that
             # must survive (advanced BatchNorm statistics, always f32);
             # the decoder copy may be a bf16 cast and is discarded
@@ -320,7 +328,8 @@ class Trainer:
         for batch in dataloader:
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
-            n = len(batch["captions"])
+            n = (int(np.asarray(batch["row_valid"]).sum())
+                 if "row_valid" in batch else len(batch["captions"]))
             if is_train:
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, batch, sub)

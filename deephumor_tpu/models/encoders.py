@@ -89,7 +89,7 @@ def image_encoder_apply(
 
     new_params = params
     if train:
-        r_bn, r_d1, r_d2 = jax.random.split(rng, 3)
+        r_d1, r_d2 = jax.random.split(rng)
         emb, new_bn = L.batch_norm(params["bn"], emb, train=True)
         new_params = dict(params, bn=new_bn)
         emb = L.dropout(r_d1, emb, dropout, train)

@@ -90,6 +90,8 @@ def lstm_forward(params, x, h0=None, c0=None, dropout=0.0, train=False, rng=None
     bs = x.shape[0]
     num_layers = len(params)
     hidden = params[0]["wh"].shape[0]
+    if (h0 is None) != (c0 is None):
+        raise ValueError("pass both h0 and c0 or neither")
     if h0 is None:
         h0 = jnp.zeros((num_layers, bs, hidden), x.dtype)
         c0 = jnp.zeros((num_layers, bs, hidden), x.dtype)

@@ -17,6 +17,8 @@ Channel layout: NHWC throughout — XLA's preferred TPU conv layout; the
 import jax
 import jax.numpy as jnp
 
+from deephumor_tpu.models import layers as L
+
 __all__ = [
     "resnet50_init",
     "resnet50_features",
@@ -39,12 +41,8 @@ def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
 
 
 def _bn_init(dim, dtype=jnp.float32):
-    return {
-        "scale": jnp.ones((dim,), dtype),
-        "bias": jnp.zeros((dim,), dtype),
-        "mean": jnp.zeros((dim,), dtype),
-        "var": jnp.ones((dim,), dtype),
-    }
+    # same param layout as the rest of the stack — one definition
+    return L.batch_norm_init(dim, dtype)
 
 
 def _conv(params, x, stride=1):
@@ -63,6 +61,9 @@ def _conv(params, x, stride=1):
 
 def _bn(params, x):
     # inference-mode BN folded as scale/shift over the channel axis
+    # (kept as the FOLDED form rather than L.batch_norm(train=False):
+    # the precomputed inv keeps one multiply per element, and the fold's
+    # float rounding is what the torch-oracle parity tolerances pin)
     inv = jax.lax.rsqrt(params["var"] + _BN_EPS) * params["scale"]
     return x * inv + (params["bias"] - params["mean"] * inv)
 

@@ -109,19 +109,32 @@ def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
         if enc_is_tuple else PartitionSpec("data")
     )
 
-    def per_shard(params, enc, key):
+    # batch-shaped kwargs (e.g. ``caption`` prefixes [bs, L] or
+    # ``labels``) must shard with the batch — captured in the closure
+    # they would enter every shard as full-size replicated constants and
+    # shape-mismatch against the per-shard encoder rows
+    bs = (enc[0] if enc_is_tuple else enc).shape[0]
+    sharded_kw = {
+        k: v for k, v in generate_kwargs.items()
+        if getattr(v, "ndim", 0) >= 1 and v.shape[0] == bs
+    }
+    static_kw = {k: v for k, v in generate_kwargs.items()
+                 if k not in sharded_kw}
+
+    def per_shard(params, enc, key, kw):
         idx = jax.lax.axis_index("data")
         local_key = jax.random.fold_in(key, idx)
         out = model.generate_from_emb(
-            params, enc, key=local_key, **generate_kwargs
+            params, enc, key=local_key, **static_kw, **kw
         )
         return out
 
     fn = jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(PartitionSpec(), enc_specs, PartitionSpec()),
+        in_specs=(PartitionSpec(), enc_specs, PartitionSpec(),
+                  {k: PartitionSpec("data") for k in sharded_kw}),
         out_specs=PartitionSpec("data"),
         check_vma=False,
     )
-    return fn(params, enc, key)
+    return fn(params, enc, key, sharded_kw)

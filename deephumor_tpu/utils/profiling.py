@@ -40,6 +40,15 @@ def trace(log_dir="/tmp/jax-trace"):
         jax.profiler.stop_trace()
 
 
+class _SectionResult:
+    """Mutable handle a timed block assigns its output to."""
+
+    __slots__ = ("result",)
+
+    def __init__(self):
+        self.result = None
+
+
 class Timer:
     """Accumulating section timer with device sync."""
 
@@ -47,11 +56,22 @@ class Timer:
         self.sections = {}
 
     @contextlib.contextmanager
-    def section(self, name, result=None):
+    def section(self, name):
+        """Times a block; assign the block's output to the yielded
+        handle so the exit path can sync it::
+
+            with timer.section("step") as s:
+                s.result = step(x)
+
+        Without the assignment only dispatch time is measured (JAX is
+        async — on remote platforms dispatch is a flat ~25 ms regardless
+        of device work, see benchmarks/attn_microbench.py).
+        """
+        holder = _SectionResult()
         t0 = time.perf_counter()
-        yield
-        if result is not None:
-            sync(result)
+        yield holder
+        if holder.result is not None:
+            sync(holder.result)
         self.sections.setdefault(name, []).append(
             time.perf_counter() - t0
         )

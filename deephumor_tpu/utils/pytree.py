@@ -55,11 +55,17 @@ def unflatten_tree(flat):
 
 
 def save_params(path, params, hp=None):
-    """Writes ``<path>`` (npz of flat leaves) and ``<path>.json`` (hp)."""
+    """Writes ``<base>.npz`` (npz of flat leaves) and ``<base>.json``
+    (hp), where ``base`` is ``path`` without any ``.npz`` suffix — the
+    exact names :func:`load_params` reads back whether or not the caller
+    spelled out ``.npz`` (np.savez appends it itself)."""
     flat = {k: np.asarray(v) for k, v in flatten_tree(params).items()}
     np.savez(path, **flat)
+    base = str(path)
+    if base.endswith(".npz"):
+        base = base[: -len(".npz")]
     if hp is not None:
-        with open(f"{path}.json", "w") as f:
+        with open(f"{base}.json", "w") as f:
             json.dump(hp, f, indent=2)
 
 

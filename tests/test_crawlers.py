@@ -150,3 +150,33 @@ class TestSplitData:
 
     def test_time_to_str(self):
         assert time_to_str(61.5) == "  1:01.50"
+
+
+def test_malformed_pages_do_not_abort_crawl(tmp_path):
+    """One empty/garbage caption page must be skipped, not abort the
+    crawl (regression: a bare fut.result() re-raised lxml ParserError)."""
+    base = make_fetch()
+
+    def flaky_fetch(url):
+        if "/images/popular/alltime/page/2" in url:
+            return b""  # empty body -> lxml ParserError in the parser
+        return base(url)
+
+    crawler = MemeGeneratorCrawler(poolsize=2, min_len=5,
+                                   fetch=flaky_fetch, batch_sleep=0,
+                                   grid_sleep=0)
+    n_t, n_c = crawler.crawl_dataset(
+        num_templates=1, num_captions=4, save_dir=str(tmp_path))
+    assert n_t == 1 and n_c == 4
+
+
+def test_score_pattern_requires_digit():
+    """A comma-only score run must not reach int('') (regression)."""
+    from deephumor_tpu.crawlers.parsers import _SCORE_PATTERN
+
+    assert _SCORE_PATTERN.search(", points") is None or \
+        _SCORE_PATTERN.search(", points").group(1).strip(",") != ""
+    m = _SCORE_PATTERN.search("1,234 points")
+    assert m and int(m.group(1).replace(",", "")) == 1234
+    m = _SCORE_PATTERN.search("-12 points")
+    assert m and int(m.group(1).replace(",", "")) == -12

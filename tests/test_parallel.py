@@ -197,3 +197,35 @@ def test_trainer_run_epoch_with_mesh(batch, tmp_path):
     )
     np.testing.assert_allclose(loss1, loss2, rtol=1e-4)
     trainer.close(); trainer2.close()
+
+
+def test_dp_generate_shards_caption_prefix(batch):
+    """Batch-shaped generate kwargs (caption prefixes) must shard with
+    the encoder rows instead of entering every shard full-size via the
+    closure (regression: shape-mismatch inside shard_map)."""
+    from deephumor_tpu.models import CaptioningTransformer
+    from deephumor_tpu.parallel import dp_generate, make_mesh, replicate
+
+    model = CaptioningTransformer(
+        num_tokens=VOCAB, hid_dim=16, n_layers=2, n_heads=4, pf_dim=32,
+        max_len=16,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    emb = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    spa = jnp.asarray(rng.normal(size=(8, 49, 16)).astype(np.float32))
+    prefix = jnp.asarray(rng.integers(6, VOCAB, size=(8, 3)), jnp.int32)
+
+    plain = model.generate_from_emb(
+        params, (emb, spa), caption=prefix, max_len=8, beam_size=3,
+        top_k=8, greedy=True, attn="xla",
+    )["chosen"]
+
+    mesh = make_mesh()
+    sharded = dp_generate(
+        model, replicate(params, mesh),
+        (shard_batch(emb, mesh), shard_batch(spa, mesh)), mesh,
+        caption=shard_batch(prefix, mesh), max_len=8, beam_size=3,
+        top_k=8, greedy=True, attn="xla",
+    )["chosen"]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(sharded))

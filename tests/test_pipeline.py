@@ -64,8 +64,8 @@ def test_profiling_benchmark():
     assert stats["mean_s"] > 0 and stats["iters"] == 3
 
     timer = Timer()
-    with timer.section("work"):
-        f(jnp.ones((8, 8)))
+    with timer.section("work") as sec:
+        sec.result = f(jnp.ones((8, 8)))
     s = timer.summary()
     assert "work" in s and s["work"]["count"] == 1
 
@@ -163,3 +163,17 @@ def test_template_refresh_keeps_rows_consistent(setup):
     got = jax.tree.leaves(pipe._stack_features(["a"]))[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6)
+
+
+def test_save_params_npz_suffix_roundtrip(tmp_path):
+    # save_params('x.npz') must write the hp sidecar where load_params
+    # looks for it (regression: sidecar landed at x.npz.json, hp lost)
+    from deephumor_tpu.utils.pytree import load_params, save_params
+
+    params = {"a": {"w": np.ones((2, 2), np.float32)}}
+    for name in ("m.npz", "m2"):
+        path = str(tmp_path / name)
+        save_params(path, params, hp={"hid": 4})
+        loaded, hp = load_params(path)
+        assert hp == {"hid": 4}, (name, hp)
+        np.testing.assert_array_equal(loaded["a"]["w"], params["a"]["w"])

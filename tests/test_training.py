@@ -373,3 +373,48 @@ def test_frozen_partition_updates_are_structurally_zero():
     new = optax.apply_updates(params, updates)
     np.testing.assert_array_equal(np.asarray(new["resnet"]["conv"]),
                                   np.asarray(params["resnet"]["conv"]))
+
+
+def test_tail_batch_metrics_exact():
+    # drop_last=False pads the tail by duplicating the last example; the
+    # duplicates must not bias epoch loss/perplexity (regression) — the
+    # same 4 examples as one exact bs=4 batch and as one bs=8 batch
+    # (4 real rows + 4 duplicates) must produce identical metrics
+    from deephumor_tpu.data.dataloaders import BatchIterator
+    from deephumor_tpu.experiments.trainer import Trainer
+    from deephumor_tpu.models import CaptioningTransformerBase
+
+    class TinySet:
+        def __init__(self):
+            r = np.random.default_rng(0)
+            self.items = [
+                (np.array([2], np.int64),
+                 r.integers(6, 30, size=(r.integers(3, 7),)),
+                 r.normal(size=(16, 16, 3)).astype(np.float32))
+                for _ in range(4)
+            ]
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    model = CaptioningTransformerBase(
+        num_tokens=30, hid_dim=16, n_layers=1, n_heads=2, pf_dim=24,
+        max_len=12)
+    trainer = Trainer(model, experiment_title="tail",
+                      log_dir="/tmp/dh_tail_logs")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    losses = {}
+    for bs in (4, 8):
+        loader = BatchIterator(TinySet(), batch_size=bs, shuffle=False,
+                               drop_last=False, max_caption_len=10,
+                               fast=False)
+        _, loss, pp = trainer.run_epoch(
+            state, loader, phase="valx", epoch=1,
+            rng=jax.random.PRNGKey(1))
+        losses[bs] = (loss, pp)
+    np.testing.assert_allclose(losses[8][0], losses[4][0], rtol=1e-5)
+    np.testing.assert_allclose(losses[8][1], losses[4][1], rtol=1e-5)
