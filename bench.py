@@ -277,32 +277,51 @@ def main():
     jnp.zeros(8).block_until_ready()  # forces backend init + one dispatch
     watchdog.cancel()
 
-    word_capt_s, (model, params) = bench_generation(VOCAB)
-    p50_ms = bench_latency(model, params)
-    word_small_capt_s, _ = bench_generation(VOCAB_SMALL, iters=6)
-    char_capt_s = bench_char()
-    train_ex_s = bench_train()
-    e2e_capt_s, _ = bench_end_to_end(render=False)
-    e2e_memes_s, t_encode = bench_end_to_end(render=True)
+    # secondary metrics must not take down the headline: a sub-bench
+    # that fails (e.g. a kernel variant that lowers under the CPU
+    # interpreter but trips on real hardware) reports null + an error
+    # note instead of killing the whole JSON line
+    errors = {}
 
-    print(
-        json.dumps(
-            {
-                "metric":
-                    f"captions/sec/chip (word V={VOCAB}, beam=5, len=32)",
-                "value": round(word_capt_s, 1),
-                "unit": "captions/s",
-                "vs_baseline": round(word_capt_s / PER_CHIP_TARGET, 3),
-                "p50_per_meme_ms": round(p50_ms, 2),
-                "word_v8192_captions_s": round(word_small_capt_s, 1),
-                "char_captions_s": round(char_capt_s, 1),
-                "train_examples_s": round(train_ex_s, 1),
-                "e2e_captions_s": round(e2e_capt_s, 1),
-                "e2e_memes_s": round(e2e_memes_s, 1),
-                "encode_300_templates_s": round(t_encode, 2),
-            }
-        )
-    )
+    def guard(name, fn, default=None):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — diagnosable, not fatal
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            return default
+
+    word_capt_s, (model, params) = bench_generation(VOCAB)
+    p50_ms = guard("p50", lambda: bench_latency(model, params))
+    word_small_capt_s = guard(
+        "word_v8192",
+        lambda: bench_generation(VOCAB_SMALL, iters=6)[0])
+    char_capt_s = guard("char", bench_char)
+    train_ex_s = guard("train", bench_train)
+    e2e_capt_s = guard("e2e_captions",
+                       lambda: bench_end_to_end(render=False)[0])
+    e2e = guard("e2e_memes", lambda: bench_end_to_end(render=True))
+    e2e_memes_s, t_encode = e2e if e2e is not None else (None, None)
+
+    def rnd(x, nd=1):
+        return None if x is None else round(x, nd)
+
+    out = {
+        "metric":
+            f"captions/sec/chip (word V={VOCAB}, beam=5, len=32)",
+        "value": round(word_capt_s, 1),
+        "unit": "captions/s",
+        "vs_baseline": round(word_capt_s / PER_CHIP_TARGET, 3),
+        "p50_per_meme_ms": rnd(p50_ms, 2),
+        "word_v8192_captions_s": rnd(word_small_capt_s),
+        "char_captions_s": rnd(char_capt_s),
+        "train_examples_s": rnd(train_ex_s),
+        "e2e_captions_s": rnd(e2e_capt_s),
+        "e2e_memes_s": rnd(e2e_memes_s),
+        "encode_300_templates_s": rnd(t_encode, 2),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
