@@ -14,7 +14,7 @@ pipeline is the TPU-native serving design (SURVEY.md §7.7/7.9):
 """
 
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
@@ -25,6 +25,35 @@ from deephumor_tpu.experiments.inference import seq_to_text, split_caption
 from deephumor_tpu.imaging import memeify_image
 
 __all__ = ["MemeGenerationPipeline"]
+
+# -- process-pool render workers ---------------------------------------------
+# PIL's FreeType rasterization runs under the GIL, so the THREAD pool
+# overlaps rendering with device work but cannot scale rendering across
+# host cores; a process pool can. Workers get the template images once
+# at pool creation (raw bytes via the spawn initializer — spawn, not
+# fork: the parent holds live JAX/XLA threads) and never touch jax.
+_WORKER_IMAGES = {}
+_WORKER_FONT = None
+
+
+def _render_proc_init(images_raw, font_path):
+    from PIL import Image
+
+    global _WORKER_FONT
+    _WORKER_IMAGES.clear()
+    for tid, (mode, size, raw) in images_raw.items():
+        _WORKER_IMAGES[tid] = Image.frombytes(mode, size, raw)
+    _WORKER_FONT = font_path
+
+
+def _render_proc_one(tid, text):
+    top, bottom = split_caption(text, num_blocks=2)
+    img = _WORKER_IMAGES.get(tid)
+    if img is None:
+        return tid, text, None
+    out = memeify_image(img, top=top, bottom=bottom,
+                        font_path=_WORKER_FONT)
+    return tid, text, (out.mode, out.size, out.tobytes())
 
 
 class MemeGenerationPipeline:
@@ -37,16 +66,30 @@ class MemeGenerationPipeline:
         delimiter: join delimiter for :func:`seq_to_text` ('' for char
             models, ' ' for word models — notebook cell 35).
         render_workers: host threads for PIL rendering.
+        render_processes: when > 0, render in a persistent spawn-based
+            process pool of this size instead of threads — FreeType
+            rasterization holds the GIL, so threads overlap rendering
+            with device work but cannot scale it across host cores;
+            processes can. Workers snapshot the template images at pool
+            creation (pool rebuilds when templates change); call
+            ``close()`` to shut the pool down.
     """
 
     def __init__(self, model, params, vocab, delimiter=" ",
-                 font_path=None, render_workers=8):
+                 font_path=None, render_workers=8, render_processes=0):
         self.model = model
         self.params = params
         self.vocab = vocab
         self.delimiter = delimiter
         self.font_path = font_path
         self.render_workers = render_workers
+        # render_processes > 0 renders in a persistent spawn-based
+        # process pool instead of threads — FreeType rasterization holds
+        # the GIL, so only processes scale rendering across host cores
+        self.render_processes = render_processes
+        self._proc_pool = None
+        self._proc_pool_version = -1
+        self._images_version = 0
         self._images = {}  # template id -> PIL image (for rendering)
         # stacked feature store: one device array per feature leaf with a
         # row per template; lookups are a single gather instead of an
@@ -86,6 +129,7 @@ class MemeGenerationPipeline:
             if hasattr(pil_image, "load"):
                 pil_image.load()
             self._images[template_id] = pil_image
+            self._images_version += 1
 
     def add_templates(self, ids, images, pil_images=None, batch_size=32,
                       label_ids=None):
@@ -123,6 +167,7 @@ class MemeGenerationPipeline:
                     if hasattr(img, "load"):
                         img.load()  # see add_template: render-thread safety
                     self._images[tid] = img
+                self._images_version += 1
 
     def _append_stacked(self, ids, enc):
         for j, tid in enumerate(ids):
@@ -171,6 +216,44 @@ class MemeGenerationPipeline:
             for seq in seqs
         ]
 
+    def _render_pool(self):
+        """Persistent process pool, rebuilt when the template images
+        change (workers snapshot the images at creation)."""
+        if self._proc_pool_version != self._images_version:
+            if self._proc_pool is not None:
+                self._proc_pool.shutdown(wait=False)
+            import multiprocessing
+
+            snapshot = {
+                tid: (img.mode, img.size, img.tobytes())
+                for tid, img in self._images.items()
+            }
+            self._proc_pool = ProcessPoolExecutor(
+                self.render_processes,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_render_proc_init,
+                initargs=(snapshot, self.font_path),
+            )
+            self._proc_pool_version = self._images_version
+        return self._proc_pool
+
+    def close(self):
+        """Shuts the process render pool down (no-op for threads)."""
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=True)
+            self._proc_pool = None
+            self._proc_pool_version = -1
+
+    @staticmethod
+    def _from_raw(rendered):
+        tid, text, raw = rendered
+        if raw is None:
+            return tid, text, None
+        from PIL import Image
+
+        mode, size, data = raw
+        return tid, text, Image.frombytes(mode, size, data)
+
     def _render_one(self, tid, text):
         top, bottom = split_caption(text, num_blocks=2)
         img = self._images.get(tid)
@@ -186,6 +269,11 @@ class MemeGenerationPipeline:
         Returns list of (template_id, caption_text, PIL image | None).
         """
         texts = self.generate_captions(template_ids, key, **generate_kwargs)
+        if self.render_processes:
+            pool = self._render_pool()
+            futs = [pool.submit(_render_proc_one, tid, text)
+                    for tid, text in zip(template_ids, texts)]
+            return [self._from_raw(f.result()) for f in futs]
         with ThreadPoolExecutor(self.render_workers) as pool:
             return list(
                 pool.map(lambda a: self._render_one(*a),
@@ -206,6 +294,19 @@ class MemeGenerationPipeline:
             key = jax.random.PRNGKey(0)
         ids = list(template_ids)
         futures = []
+        if self.render_processes:
+            pool = self._render_pool()
+            for start in range(0, len(ids), batch_size):
+                chunk = ids[start:start + batch_size]
+                texts = self.generate_captions(
+                    chunk, key=jax.random.fold_in(key, start),
+                    pad_to=batch_size, **generate_kwargs,
+                )
+                futures.extend(
+                    pool.submit(_render_proc_one, tid, text)
+                    for tid, text in zip(chunk, texts)
+                )
+            return [self._from_raw(f.result()) for f in futures]
         with ThreadPoolExecutor(self.render_workers) as pool:
             for start in range(0, len(ids), batch_size):
                 chunk = ids[start:start + batch_size]

@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--render", action="store_true",
                         help="also render PNG memes (synthetic mode)")
+    parser.add_argument("--render-procs", type=int, default=0,
+                        help="render in N spawn processes instead of "
+                             "threads (threads overlap with the device "
+                             "but FreeType holds the GIL — processes "
+                             "scale rendering across host cores)")
     args = parser.parse_args()
 
     import numpy as np
@@ -80,7 +85,9 @@ def main():
             tid: Image.open(ds.templates[tid]) for tid in templates
         }
 
-    pipe = MemeGenerationPipeline(model, params, vocab)
+    pipe = MemeGenerationPipeline(
+        model, params, vocab,
+        render_processes=args.render_procs)
 
     t0 = time.perf_counter()
     ids = list(templates)

@@ -177,3 +177,26 @@ def test_save_params_npz_suffix_roundtrip(tmp_path):
         loaded, hp = load_params(path)
         assert hp == {"hid": 4}, (name, hp)
         np.testing.assert_array_equal(loaded["a"]["w"], params["a"]["w"])
+
+
+def test_process_pool_render_matches_threads(setup):
+    """render_processes=2: spawn-pool rendering must produce images
+    pixel-identical to the in-process thread path."""
+    model, params, vocab = setup
+    rng = np.random.default_rng(7)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    pils = [Image.new("RGB", (200, 150), (90, 110, 130)) for _ in range(2)]
+
+    results = {}
+    for procs in (0, 2):
+        pipe = MemeGenerationPipeline(model, params, vocab,
+                                      render_processes=procs)
+        pipe.add_templates(["a", "b"], images, pil_images=pils)
+        out = pipe.generate_memes(
+            ["a", "b"], key=jax.random.PRNGKey(3), max_len=8,
+            beam_size=2, top_k=5)
+        results[procs] = out
+        pipe.close()
+    for (t0, x0, i0), (t1, x1, i1) in zip(results[0], results[2]):
+        assert t0 == t1 and x0 == x1
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
