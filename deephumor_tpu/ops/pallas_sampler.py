@@ -168,6 +168,40 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
         packed = jnp.where(hit, _INT_MIN, packed)
 
 
+def _block_and_pad(x, vocab, block_rows, vmem_budget):
+    """Shared row-block sizing + padding: the kernel stages hold ~3 live
+    f32 [block, V] arrays, so the row block shrinks for very large
+    vocabularies to fit ``vmem_budget``; rows pad to a whole number of
+    blocks (padded rows are sliced off the outputs)."""
+    rows = x.shape[0]
+    max_block = max(8, int(vmem_budget / (12 * vocab)) // 8 * 8)
+    block = min(block_rows, max_block, rows)
+    if rows % block != 0:
+        x = jnp.pad(x, ((0, block - rows % block), (0, 0)))
+    return x, block, x.shape[0]
+
+
+def _row_grid(padded_rows, block, live_rows):
+    """1-D row-block grid; with ``live_rows`` the grid is dynamic and
+    dead (compacted-suffix) blocks never run."""
+    n_blocks = padded_rows // block
+    if live_rows is None:
+        return (n_blocks,)
+    nlive = jnp.clip(
+        (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
+        1, n_blocks)
+    return (nlive,)
+
+
+def _interpret_ctx(interpret):
+    """TPU-specific primitives (prng_seed etc.) only interpret under the
+    TPU interpreter context, not pallas_call(interpret=True)."""
+    import contextlib
+
+    return (pltpu.force_tpu_interpret_mode() if interpret
+            else contextlib.nullcontext())
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "num_draws", "unk_index", "block_rows",
@@ -267,37 +301,19 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
     Returns:
         (ids ``[rows, num_draws]`` int32, vals ``[rows, num_draws]`` f32).
     """
-    import contextlib
-
     rows, d = x.shape
     vocab = w.shape[1]
-    max_block = max(8, int(60e6 / (12 * vocab)) // 8 * 8)
-    block = min(block_rows, max_block, rows)
-    if rows % block != 0:
-        pad = block - rows % block
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-        padded_rows = rows + pad
-    else:
-        padded_rows = rows
+    # 60e6 budget: the classifier weight [D, V] stays VMEM-resident on
+    # top of the sampler stages
+    x, block, padded_rows = _block_and_pad(x, vocab, block_rows, 60e6)
     out_cols = 128
-
-    n_blocks = padded_rows // block
-    if live_rows is None:
-        grid = (n_blocks,)
-    else:
-        # dynamic grid: dead (compacted-suffix) row blocks never run
-        nlive = jnp.clip(
-            (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
-            1, n_blocks)
-        grid = (nlive,)
+    grid = _row_grid(padded_rows, block, live_rows)
 
     kernel = functools.partial(
         _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
         unk_index=unk_index, vocab=vocab,
     )
-    ctx = (pltpu.force_tpu_interpret_mode() if interpret
-           else contextlib.nullcontext())
-    with ctx:
+    with _interpret_ctx(interpret):
         ids, vals = pl.pallas_call(
             kernel,
             grid=grid,
