@@ -229,3 +229,35 @@ def test_dp_generate_shards_caption_prefix(batch):
         top_k=8, greedy=True, attn="xla",
     )["chosen"]
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(sharded))
+
+
+def test_tp_sharded_generation_equality(batch):
+    """Serving under TENSOR parallelism: Megatron-sharded decoder weights
+    on a data x model mesh, generation driven by jit's sharding
+    propagation (no shard_map) — tokens equal to the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deephumor_tpu.models import CaptioningTransformer
+    from deephumor_tpu.parallel import make_mesh
+    from deephumor_tpu.parallel.sharding import make_param_shardings
+
+    model = CaptioningTransformer(
+        num_tokens=VOCAB, hid_dim=32, n_layers=2, n_heads=4, pf_dim=64,
+        max_len=16,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+    spa = jnp.asarray(rng.normal(size=(8, 49, 32)).astype(np.float32))
+
+    plain = model.generate_from_emb(
+        params, (emb, spa), max_len=8, beam_size=3, top_k=8, greedy=True,
+        attn="xla")["chosen"]
+
+    mesh = make_mesh(model=2)  # data 4 x model 2
+    sp = jax.device_put(params, make_param_shardings(params, mesh))
+    data_sh = NamedSharding(mesh, P("data"))
+    out = model.generate_from_emb(
+        sp, (jax.device_put(emb, data_sh), jax.device_put(spa, data_sh)),
+        max_len=8, beam_size=3, top_k=8, greedy=True, attn="xla")["chosen"]
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(out))
