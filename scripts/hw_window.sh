@@ -20,6 +20,29 @@ run() {
   echo "=== $name exit=$? ==="
 }
 
+# 0. 60-second smoke: confirm the claim works and the kernels lower on
+#    real hardware before committing to the long benches.
+run smoke python - <<'PY'
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+t0 = time.time()
+print(jax.devices())
+from deephumor_tpu.models import CaptioningTransformer
+m = CaptioningTransformer(num_tokens=512, hid_dim=64, n_layers=2,
+                          n_heads=4, pf_dim=128, max_len=18)
+p = m.init(jax.random.PRNGKey(0))
+r = np.random.default_rng(0)
+emb = jnp.asarray(r.normal(size=(64, 64)).astype(np.float32))
+spa = jnp.asarray(r.normal(size=(64, 49, 64)).astype(np.float32))
+out = m.generate_from_emb(p, (emb, spa), key=jax.random.PRNGKey(1),
+                          max_len=16, beam_size=5, top_k=16,
+                          sampler="pallas")
+toks = np.asarray(out["chosen"])
+assert toks.shape[0] == 64 and (toks >= 0).all() and (toks < 512).all()
+print("smoke OK", round(time.time() - t0, 1), "s")
+PY
+
 # 1. Mosaic lowering + exactness + HONEST per-step timing of the
 #    double-buffered canon kernel and the ids straggler recompute
 #    (the pre-fix 1.63x figure had the ids kernel DCE'd out).
