@@ -66,6 +66,9 @@ def _load_font(font_path, size):
 
 @functools.lru_cache(maxsize=4096)
 def _measured_size(font_path, font_size, text):
+    fast = _measurer_for(_load_font(font_path, font_size))
+    if fast is not None:
+        return fast.measure(text)
     left, top, right, bottom = _load_font(font_path, font_size).getbbox(text)
     return right, bottom
 
@@ -336,14 +339,27 @@ class _LineComposer:
         # integer alpha-over: dst' = src + MULDIV255(dst, 255 - src),
         # MULDIV255(a, b) = (t = a*b + 128; (t + (t >> 8)) >> 8).
         # Blit order = glyph order (the blend is not associative).
-        out = np.zeros((y1 - y0, x1 - x0), np.uint32)
+        # Most glyphs land right of everything written so far (kerned
+        # apart), where the blend degenerates to a copy (dst == 0 ->
+        # dst' = src): those blit directly; only the columns overlapping
+        # the written extent pay the integer blend.
+        out = np.zeros((y1 - y0, x1 - x0), np.uint8)
+        written_x1 = None  # right edge (exclusive) of columns written
         for arr, ox, oy in pieces:
-            sl = out[oy - y0:oy - y0 + arr.shape[0],
-                     ox - x0:ox - x0 + arr.shape[1]]
-            src = arr.astype(np.uint32)
-            t = sl * (255 - src) + 128
-            sl[...] = src + ((t + (t >> 8)) >> 8)
-        return out.astype(np.uint8), x0, y0
+            h, w = arr.shape
+            r0, c0 = oy - y0, ox - x0
+            if written_x1 is None or c0 >= written_x1:
+                out[r0:r0 + h, c0:c0 + w] = arr
+            else:
+                ov = min(written_x1 - c0, w)  # overlapping column count
+                sl = out[r0:r0 + h, c0:c0 + ov]
+                src = arr[:, :ov].astype(np.uint32)
+                t = sl * (255 - src) + 128
+                sl[...] = (src + ((t + (t >> 8)) >> 8)).astype(np.uint8)
+                if ov < w:
+                    out[r0:r0 + h, c0 + ov:c0 + w] = arr[:, ov:]
+            written_x1 = max(written_x1 or 0, c0 + w)
+        return out, x0, y0
 
 
 _COMPOSERS = {}
@@ -363,6 +379,246 @@ def _composer_for(font):
             _COMPOSERS.clear()
         comp = _COMPOSERS[key] = _LineComposer(font)
     return comp
+
+
+class _FastMeasure:
+    """Decomposed ``getbbox``-compatible (right, bottom) measurement.
+
+    FreeType shaping per ``getbbox`` call is ~40% of a batch render's
+    wall time even after memoization, because captions are distinct. But
+    Pillow's line bbox decomposes over glyphs: the pen positions are
+    exact 26.6 fixed-point sums of cached advances + pairwise kerns
+    (identical to the :class:`_LineComposer` invariant, and only used on
+    lines whose pairs pass its ``_pair_safe`` raster check), and each
+    glyph contributes
+
+        right_i = (pen26_i + xmax26(ch) + 63) >> 6      (26.6 ceil)
+
+    for a per-(char, size) constant ``xmax26`` — any unit-slope rounding
+    Pillow might use (ceil / round / floor-then-add) is the same formula
+    under a constant shift, so the constant is LEARNED, not assumed:
+
+      - bootstrap: ``getbbox(ch)`` pins it to a 64-wide interval,
+      - every fallback measurement narrows: the observed line right edge
+        upper-bounds every glyph's interval, and lower-bounds the unique
+        argmax candidate's when there is one,
+      - a measurement is emitted from the table ONLY when every glyph's
+        interval yields one answer at its pen phase; otherwise the real
+        ``getbbox`` runs (and teaches the table).
+
+    ``bottom`` is phase-independent (the x pen never moves glyphs
+    vertically), so ``max(bottom(ch))`` over the line is exact from the
+    single-char bootstraps. The first :data:`_VALIDATE_N` fast results
+    are cross-checked against ``getbbox``; any mismatch permanently
+    disables the fast path for this (font, size) — same self-trust
+    pattern as ``_pair_safe``.
+    """
+
+    _VALIDATE_N = 32
+    _PIN_AFTER = 16  # undetermined fallbacks before active pinning starts
+
+    # narrow glyphs used as probe prefixes (their own right edges stay
+    # safely left of the probed boundary)
+    _ANCHORS = ".,:;'!|iIl1"
+
+    def __init__(self, font, composer):
+        self.font = font
+        self.comp = composer
+        self._adv26 = {}
+        self._kern26 = {}
+        self._xiv = {}   # ch -> [lo, hi] inclusive interval for xmax26
+        self._bot = {}   # ch -> bottom (pen y = 0)
+        self._validate_left = self._VALIDATE_N
+        self._fallbacks = 0
+        self._enabled = True
+
+    def _a26(self, c):
+        a = self._adv26.get(c)
+        if a is None:
+            a = self._adv26[c] = round(self.comp._advance(c) * 64)
+        return a
+
+    def _k26(self, a, b):
+        k = self._kern26.get((a, b))
+        if k is None:
+            k = self._kern26[(a, b)] = (
+                round(self.font.getlength(a + b) * 64)
+                - self._a26(a) - self._a26(b))
+        return k
+
+    def _bootstrap(self, c):
+        _, _, r, b = self.font.getbbox(c)
+        # r = ceil-form of xmax26 at pen 0 -> xmax26 in [64(r-1)+1, 64r]
+        self._xiv[c] = [64 * (r - 1) + 1, 64 * r]
+        self._bot[c] = b
+
+    def _prefixes_for_phase(self, c, phase):
+        """Anchor prefixes P making ``c``'s pen in ``P + c`` equal
+        ``phase`` (mod 64): 1- then 2-anchor combinations, pair-safe."""
+        out = []
+        safe = self.comp._pair_safe
+        for a in self._ANCHORS:
+            if not safe(a, c):
+                continue
+            if a not in self._xiv:
+                self._bootstrap(a)
+            p = self._a26(a) + self._k26(a, c)
+            if p % 64 == phase:
+                out.append((a, (0,)))
+        for a in self._ANCHORS:
+            for b in self._ANCHORS:
+                if not (safe(a, b) and safe(b, c)):
+                    continue
+                if a not in self._xiv:
+                    self._bootstrap(a)
+                if b not in self._xiv:
+                    self._bootstrap(b)
+                pb = self._a26(a) + self._k26(a, b)
+                p = pb + self._a26(b) + self._k26(b, c)
+                if p % 64 == phase:
+                    out.append((a + b, (0, pb)))
+        return out
+
+    def _pin(self, c):
+        """Binary-search ``xmax26(c)`` to an exact value with crafted
+        2-3 glyph probes: a narrow anchor prefix places ``c``'s pen so a
+        pixel boundary splits the current interval; the real ``getbbox``
+        of the probe string then decides the half. Sound because the
+        anchors' own right-edge upper bounds are checked to stay at or
+        below the probed boundary."""
+        lo, hi = self._xiv[c]
+        tries = 0
+        while lo < hi and tries < 24:
+            tries += 1
+            m = (lo + hi) // 2  # decide xmax <= m vs >= m+1
+            progress = False
+            for prefix, anchor_pens in self._prefixes_for_phase(
+                    c, (-m) % 64):
+                pen_c = 0
+                prev = None
+                for ch in prefix:
+                    if prev is not None:
+                        pen_c += self._k26(prev, ch)
+                    pen_c += self._a26(ch)
+                    prev = ch
+                pen_c += self._k26(prefix[-1], c)
+                b64 = (pen_c + m) // 64
+                # anchor interference: every prefix glyph's right-edge
+                # upper bound must stay <= b64
+                ok = True
+                for ch, p in zip(prefix, anchor_pens):
+                    if (p + self._xiv[ch][1] + 63) >> 6 > b64:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                _, _, r_obs, _ = self.font.getbbox(prefix + c)
+                if r_obs <= b64:
+                    hi = m
+                else:
+                    lo = m + 1
+                progress = True
+                break
+            if not progress:
+                break
+        self._xiv[c] = [lo, hi]
+
+    def measure(self, text):
+        """(right, bottom) of ``text``, getbbox-exact."""
+        if (not self._enabled or not text
+                or not _COMPOSE_SAFE.issuperset(text)):
+            _, _, r, b = self.font.getbbox(text)
+            return r, b
+        safe = self.comp._pair_safe
+        for a, b_ in zip(text, text[1:]):
+            if not safe(a, b_):
+                _, _, r, b = self.font.getbbox(text)
+                return r, b
+        xiv = self._xiv
+        a26 = self._adv26
+        k26 = self._kern26
+        pens = []
+        pen = 0
+        prev = None
+        for ch in text:
+            if ch not in xiv:
+                self._bootstrap(ch)
+            if prev is not None:
+                k = k26.get((prev, ch))
+                pen += k if k is not None else self._k26(prev, ch)
+            pens.append(pen)
+            a = a26.get(ch)
+            pen += a if a is not None else self._a26(ch)
+            prev = ch
+
+        def bounds():
+            r_lo = r_hi = -(1 << 60)
+            for ch, p in zip(text, pens):
+                lo, hi = xiv[ch]
+                clo = (p + lo + 63) >> 6
+                chi = (p + hi + 63) >> 6
+                if clo > r_lo:
+                    r_lo = clo
+                if chi > r_hi:
+                    r_hi = chi
+            return r_lo, r_hi
+
+        r_lo, r_hi = bounds()
+        if r_lo != r_hi and self._fallbacks >= self._PIN_AFTER:
+            # pin the chars whose uncertainty spans the line max
+            for ch, p in zip(text, pens):
+                lo, hi = xiv[ch]
+                if lo != hi and (p + hi + 63) >> 6 > r_lo:
+                    self._pin(ch)
+            r_lo, r_hi = bounds()
+        if r_lo == r_hi:
+            if self._validate_left <= 0:
+                return r_lo, max(self._bot[c] for c in text)
+            # validation window: fast answer must match the real one
+            _, _, r_obs, b_obs = self.font.getbbox(text)
+            if (r_lo, max(self._bot[c] for c in text)) != (r_obs, b_obs):
+                self._enabled = False
+            else:
+                self._validate_left -= 1
+            return r_obs, b_obs
+        self._fallbacks += 1
+        _, _, r_obs, b_obs = self.font.getbbox(text)
+        # narrow passively: every glyph's right edge <= r_obs
+        cands = []
+        for ch, p in zip(text, pens):
+            iv = xiv[ch]
+            iv[1] = min(iv[1], 64 * r_obs - p)
+            if (p + iv[1] + 63) >> 6 >= r_obs:
+                cands.append((ch, p))
+        if len(cands) == 1:
+            # unique argmax: its right edge is exactly r_obs
+            ch, p = cands[0]
+            iv = xiv[ch]
+            iv[0] = max(iv[0], 64 * (r_obs - 1) + 1 - p)
+        if any(iv[0] > iv[1] for iv in xiv.values()) or not cands:
+            # an emptied interval (or an observation no glyph can reach)
+            # contradicts the unit-slope model for this face — stop
+            # trusting the table
+            self._enabled = False
+        return r_obs, b_obs
+
+
+_MEASURERS = {}
+
+
+def _measurer_for(font):
+    """Measurement learner keyed (path, size); shares the composer's
+    advance/kern/pair-safety caches (same eligibility guard)."""
+    comp = _composer_for(font)
+    if comp is None:
+        return None
+    key = (font.path, font.size)
+    meas = _MEASURERS.get(key)
+    if meas is None:
+        if len(_MEASURERS) > 64:
+            _MEASURERS.clear()
+        meas = _MEASURERS[key] = _FastMeasure(font, comp)
+    return meas
 
 
 def _draw_dilate_bordered(img, xy, line, font, border_size):

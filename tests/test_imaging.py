@@ -263,3 +263,63 @@ def test_glyph_compose_unsafe_pair_detection():
     assert comp.compose("AV", 0.0, 0.0) == "unsafe"
     assert comp.compose("HAVE", 0.0, 0.0) == "unsafe"
     assert comp.compose("HOME", 0.0, 0.0) != "unsafe"
+
+
+def test_fast_measure_matches_getbbox():
+    """The decomposed measurement learner (``_FastMeasure``) must return
+    getbbox-exact (right, bottom) through every regime — learning
+    (fallback+narrowing), active pinning, and the converged fast path —
+    and must mostly stop calling the real ``getbbox`` once converged."""
+    import string
+
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import _load_font, packaged_font_path
+
+    rng = np.random.default_rng(3)
+    chars = string.ascii_uppercase + string.digits + " .,!?'\"-"
+    for size in (13, 29, 41):
+        font = _load_font(packaged_font_path(), size)
+        meas = cap._FastMeasure(font, cap._composer_for(font))
+        for _ in range(400):
+            n = int(rng.integers(1, 26))
+            s = "".join(chars[rng.integers(0, len(chars))] for _ in range(n))
+            left, top, right, bottom = font.getbbox(s)
+            assert meas.measure(s) == (right, bottom), (size, s)
+        assert meas._enabled
+        # converged: the residual real-getbbox rate must be low
+        calls = 0
+        real = type(font).getbbox
+
+        def counting(self, *a, **k):
+            nonlocal calls
+            calls += 1
+            return real(self, *a, **k)
+
+        type(font).getbbox = counting
+        try:
+            for _ in range(200):
+                n = int(rng.integers(1, 26))
+                s = "".join(
+                    chars[rng.integers(0, len(chars))] for _ in range(n))
+                meas.measure(s)
+        finally:
+            type(font).getbbox = real
+        assert calls < 40, calls
+
+
+def test_fast_measure_disables_on_mismatch():
+    """A validation-window mismatch permanently disables the fast path
+    (the learner must fail safe, never emit a wrong width)."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import _load_font, packaged_font_path
+
+    font = _load_font(packaged_font_path(), 31)
+    meas = cap._FastMeasure(font, cap._composer_for(font))
+    meas.measure("HELLO WORLD")  # bootstrap some chars
+    # poison a pinned interval to force a fast answer that cannot match
+    for ch, iv in meas._xiv.items():
+        iv[0] = iv[1] = iv[1] + 640
+    meas._fallbacks = meas._PIN_AFTER
+    got = meas.measure("HELLO WORLD")
+    assert got == font.getbbox("HELLO WORLD")[2:]  # still exact (fallback)
+    assert not meas._enabled
