@@ -236,6 +236,7 @@ class _LineComposer:
         self._kern = {}
         self._glyphs = {}
         self._pair_ok = {}
+        self._words = {}  # (word, px64, py64) -> composed raster or None
 
     def _advance(self, c):
         a = self._adv.get(c)
@@ -305,10 +306,85 @@ class _LineComposer:
         line contains a pair that does not shape decomposably (caller
         must use the whole-line rasterizer).
         """
-        for a, b in zip(line, line[1:]):
-            if not self._pair_safe(a, b):
+        pair_ok = self._pair_ok
+        prev = line[0] if line else None
+        for b in line[1:]:
+            ok = pair_ok.get((prev, b))
+            if ok is None:
+                ok = self._pair_safe(prev, b)
+            if not ok:
                 return "unsafe"
-        return self._compose_raw(line, fx, fy)
+            prev = b
+        return self._compose_words(line, fx, fy)
+
+    def _compose_words(self, line, fx, fy):
+        """Word-memoized composition: meme captions repeat words heavily,
+        so each space-free run's composed raster is cached by its 1/64
+        entry-pen phase and blitted whole. Pen arithmetic is identical to
+        the glyph path (advances + pairwise kerns in exact 26.6 sums).
+        Words are blitted disjointly; if two words' rasters would overlap
+        (pathological overhang across a space) the whole line falls back
+        to glyph-by-glyph composition so blend order stays exact."""
+        if len(self._words) > 65536:  # bound raster memory
+            self._words.clear()
+        pieces = []
+        pen = fx
+        prev = None
+        i, n = 0, len(line)
+        while i < n:
+            ch = line[i]
+            if ch == " ":
+                if prev is not None:
+                    pen += self._kerning(prev, ch)
+                pen += self._advance(ch)
+                prev = ch
+                i += 1
+                continue
+            j = i
+            while j < n and line[j] != " ":
+                j += 1
+            word = line[i:j]
+            if prev is not None:
+                pen += self._kerning(prev, word[0])
+            ipen = math.floor(pen)
+            px = pen - ipen
+            key = (word, round(px * 64), round(fy * 64))
+            got = self._words.get(key, False)
+            if got is False:
+                got = self._compose_raw(word, px, fy)
+                self._words[key] = got
+            if got is not None:
+                arr, x0, y0 = got
+                pieces.append((arr, ipen + x0, y0))
+            # pen after the word: internal advances + kerns
+            pw = 0.0
+            wprev = None
+            for wc in word:
+                if wprev is not None:
+                    pw += self._kerning(wprev, wc)
+                pw += self._advance(wc)
+                wprev = wc
+            pen += pw
+            prev = word[-1]
+            i = j
+        if not pieces:
+            return None
+        x0 = min(p[1] for p in pieces)
+        y0 = min(p[2] for p in pieces)
+        x1 = max(p[1] + p[0].shape[1] for p in pieces)
+        y1 = max(p[2] + p[0].shape[0] for p in pieces)
+        out = np.zeros((y1 - y0, x1 - x0), np.uint8)
+        written_x1 = None
+        for arr, ox, oy in pieces:
+            h, w = arr.shape
+            c0 = ox - x0
+            if written_x1 is not None and c0 < written_x1:
+                # overlapping words: redo the whole line glyph-by-glyph
+                # (blend order must follow glyphs, not composed words)
+                return self._compose_raw(line, fx, fy)
+            out[oy - y0:oy - y0 + h, c0:c0 + w] = arr
+            written_x1 = c0 + w
+        return out, x0, y0
 
     def _compose_raw(self, line, fx, fy):
         pieces = []
@@ -431,6 +507,14 @@ class _FastMeasure:
         self._validate_left = self._VALIDATE_N
         self._fallbacks = 0
         self._enabled = True
+        # word -> (adv26, rmax_lo26, rmax_hi26, bottom, version); the
+        # version stamps the interval state the aggregate was built from
+        self._wagg = {}
+        self._version = 0
+        # ch -> interval at the last pin attempt that could not finish
+        # (hinted faces leave some chars unpinnable — phase-0 anchors
+        # only); retrying is futile until the interval changes otherwise
+        self._pin_stuck = {}
 
     def _a26(self, c):
         a = self._adv26.get(c)
@@ -488,6 +572,9 @@ class _FastMeasure:
         below the probed boundary."""
         lo, hi = self._xiv[c]
         tries = 0
+        orig = (lo, hi)
+        if self._pin_stuck.get(c) == orig:
+            return
         while lo < hi and tries < 24:
             tries += 1
             m = (lo + hi) // 2  # decide xmax <= m vs >= m+1
@@ -522,6 +609,100 @@ class _FastMeasure:
             if not progress:
                 break
         self._xiv[c] = [lo, hi]
+        if (lo, hi) != orig:
+            self._version += 1
+        if lo < hi:
+            self._pin_stuck[c] = (lo, hi)
+
+    def _word_agg(self, word):
+        """(total 26.6 advance, max-right interval [lo, hi] in 26.6,
+        bottom, version) of a space-free run, cached. The interval
+        bounds the true per-word max right edge (max is monotone in each
+        char's control-box interval), so the line-level ceil decides
+        exactness; aggregates are rebuilt when any interval has narrowed
+        since (the version stamp)."""
+        agg = self._wagg.get(word)
+        if agg is not None and agg[4] == self._version:
+            return agg
+        pen = 0
+        rlo = rhi = -(1 << 60)
+        bot = -(1 << 60)
+        prev = None
+        for ch in word:
+            if ch not in self._xiv:
+                self._bootstrap(ch)
+            lo, hi = self._xiv[ch]
+            if prev is not None:
+                pen += self._k26(prev, ch)
+            if pen + lo > rlo:
+                rlo = pen + lo
+            if pen + hi > rhi:
+                rhi = pen + hi
+            b = self._bot[ch]
+            if b > bot:
+                bot = b
+            pen += self._a26(ch)
+            prev = ch
+        if len(self._wagg) > 1 << 20:
+            self._wagg.clear()
+        agg = (pen, rlo, rhi, bot, self._version)
+        self._wagg[word] = agg
+        return agg
+
+    def _word_path(self, text):
+        """Word-memoized measurement: the line max regroups over
+        space-free runs (pens are exact 26.6 ints, so per-word maxima
+        translate). Returns None when the interval arithmetic does not
+        single-value the line's right edge — the char-wise path then
+        decides (or falls back to ``getbbox``)."""
+        xiv = self._xiv
+        pen = 0
+        prev = None
+        r_lo = r_hi = -(1 << 60)
+        bot = -(1 << 60)
+        i, n = 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch == " ":
+                if ch not in xiv:
+                    self._bootstrap(ch)
+                if prev is not None:
+                    pen += self._k26(prev, ch)
+                lo, hi = xiv[ch]
+                clo = (pen + lo + 63) >> 6
+                chi = (pen + hi + 63) >> 6
+                if clo > r_lo:
+                    r_lo = clo
+                if chi > r_hi:
+                    r_hi = chi
+                b = self._bot[ch]
+                if b > bot:
+                    bot = b
+                pen += self._a26(ch)
+                prev = ch
+                i += 1
+                continue
+            j = i
+            while j < n and text[j] != " ":
+                j += 1
+            word = text[i:j]
+            if prev is not None:
+                pen += self._k26(prev, word[0])
+            adv, rlo, rhi, wbot, _ = self._word_agg(word)
+            clo = (pen + rlo + 63) >> 6
+            chi = (pen + rhi + 63) >> 6
+            if clo > r_lo:
+                r_lo = clo
+            if chi > r_hi:
+                r_hi = chi
+            if wbot > bot:
+                bot = wbot
+            pen += adv
+            prev = word[-1]
+            i = j
+        if r_lo != r_hi:
+            return None
+        return r_lo, bot
 
     def measure(self, text):
         """(right, bottom) of ``text``, getbbox-exact."""
@@ -529,11 +710,23 @@ class _FastMeasure:
                 or not _COMPOSE_SAFE.issuperset(text)):
             _, _, r, b = self.font.getbbox(text)
             return r, b
+        # pair-safety pre-scan, inlined as dict hits (the method call per
+        # pair costs more than the lookup once everything is cached)
+        pair_ok = self.comp._pair_ok
         safe = self.comp._pair_safe
-        for a, b_ in zip(text, text[1:]):
-            if not safe(a, b_):
+        prev_c = text[0]
+        for c in text[1:]:
+            ok = pair_ok.get((prev_c, c))
+            if ok is None:
+                ok = safe(prev_c, c)
+            if not ok:
                 _, _, r, b = self.font.getbbox(text)
                 return r, b
+            prev_c = c
+        if self._validate_left <= 0:
+            fast = self._word_path(text)
+            if fast is not None:
+                return fast
         xiv = self._xiv
         a26 = self._adv26
         k26 = self._kern26
@@ -587,14 +780,20 @@ class _FastMeasure:
         cands = []
         for ch, p in zip(text, pens):
             iv = xiv[ch]
-            iv[1] = min(iv[1], 64 * r_obs - p)
+            new_hi = 64 * r_obs - p
+            if new_hi < iv[1]:
+                iv[1] = new_hi
+                self._version += 1
             if (p + iv[1] + 63) >> 6 >= r_obs:
                 cands.append((ch, p))
         if len(cands) == 1:
             # unique argmax: its right edge is exactly r_obs
             ch, p = cands[0]
             iv = xiv[ch]
-            iv[0] = max(iv[0], 64 * (r_obs - 1) + 1 - p)
+            new_lo = 64 * (r_obs - 1) + 1 - p
+            if new_lo > iv[0]:
+                iv[0] = new_lo
+                self._version += 1
         if any(iv[0] > iv[1] for iv in xiv.values()) or not cands:
             # an emptied interval (or an observation no glyph can reach)
             # contradicts the unit-slope model for this face — stop
@@ -615,8 +814,13 @@ def _measurer_for(font):
     key = (font.path, font.size)
     meas = _MEASURERS.get(key)
     if meas is None:
-        if len(_MEASURERS) > 64:
-            _MEASURERS.clear()
+        # a font-fit descent touches every size in its range, so varied
+        # image heights easily exceed a small cap — evict the oldest
+        # half instead of dropping ALL learned tables (a clear-all here
+        # re-pays every size's warm-up forever)
+        if len(_MEASURERS) > 256:
+            for k in list(_MEASURERS)[:128]:
+                del _MEASURERS[k]
         meas = _MEASURERS[key] = _FastMeasure(font, comp)
     return meas
 
