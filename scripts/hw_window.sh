@@ -56,5 +56,5 @@ run canon_char_ab python -m benchmarks.canon_char_ab
 run char_ledger python -m benchmarks.char_ledger
 
 # 4. Full driver bench (all BENCH metrics incl. word 29k headline,
-#    e2e render path at the new ~250 renders/s).
+#    e2e render path at the new ~519 renders/s).
 run bench python bench.py

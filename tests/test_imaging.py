@@ -323,3 +323,55 @@ def test_fast_measure_disables_on_mismatch():
     got = meas.measure("HELLO WORLD")
     assert got == font.getbbox("HELLO WORLD")[2:]  # still exact (fallback)
     assert not meas._enabled
+
+def test_word_compose_fuzz_matches_whole_line_raster():
+    """The word-memoized compose path (composed word rasters cached by
+    subpixel entry phase, blitted disjointly) must stay pixel-identical
+    to whole-line rasterization — especially on REPEATED words, where
+    the cache serves rasters composed at a different line position."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import (
+        _draw_dilate_bordered, _load_font, packaged_font_path)
+
+    rng = np.random.default_rng(11)
+    vocab = ["WHEN", "YOU", "A", "THE", "MEME", "W.", "!?", "'EM",
+             "AVATAR", "1917", "L", "TAVAWAY"]
+    for size in (19, 37):
+        font = _load_font(packaged_font_path(), size)
+        assert cap._composer_for(font) is not None
+        for trial in range(12):
+            k = int(rng.integers(1, 6))
+            text = " ".join(vocab[rng.integers(0, len(vocab))]
+                            for _ in range(k))
+            xy = (float(rng.uniform(0, 30)), float(rng.uniform(0, 40)))
+            a = Image.new("RGB", (900, 200), (40, 80, 120))
+            _draw_dilate_bordered(a, xy, text, font, 2)
+            b = Image.new("RGB", (900, 200), (40, 80, 120))
+            orig = cap._COMPOSE_SAFE
+            cap._COMPOSE_SAFE = frozenset()  # force whole-line raster
+            try:
+                _draw_dilate_bordered(b, xy, text, font, 2)
+            finally:
+                cap._COMPOSE_SAFE = orig
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{size} {text!r}")
+
+
+def test_word_compose_overlap_falls_back_exactly():
+    """If two words' rasters would overlap across a space, the composer
+    must redo the line glyph-by-glyph (blend order follows glyphs); the
+    output must still equal the whole-line raster."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import _load_font, packaged_font_path
+
+    font = _load_font(packaged_font_path(), 33)
+    comp = cap._composer_for(font)
+    assert comp is not None
+    got = comp.compose("AV AV", 0.25, 0.0)
+    raw = comp._compose_raw("AV AV", 0.25, 0.0)
+    if got != "unsafe":
+        assert raw is not None
+        arr_a, xa, ya = got
+        arr_b, xb, yb = raw
+        assert (xa, ya) == (xb, yb)
+        np.testing.assert_array_equal(arr_a, arr_b)
