@@ -451,8 +451,12 @@ def _composer_for(font):
     key = (path, font.size)
     comp = _COMPOSERS.get(key)
     if comp is None:
-        if len(_COMPOSERS) > 64:  # bound raster memory across font sizes
-            _COMPOSERS.clear()
+        # bound raster memory across font sizes; evict the oldest half
+        # rather than everything (a font-fit descent touches every size
+        # in its range — clear-all re-paid every glyph raster forever)
+        if len(_COMPOSERS) > 128:
+            for k in list(_COMPOSERS)[:64]:
+                del _COMPOSERS[k]
         comp = _COMPOSERS[key] = _LineComposer(font)
     return comp
 
