@@ -24,13 +24,45 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+SMOKE = os.environ.get("DH_LEDGER_SMOKE") == "1"
+if SMOKE:
+    # the axon sitecustomize overrides JAX_PLATFORMS=cpu from the
+    # environment; force the CPU backend via config before first use —
+    # and before importing deephumor_tpu, whose persistent-compile-cache
+    # gate reads the effective platform at import time.
+    jax.config.update("jax_platforms", "cpu")
+
 from deephumor_tpu.models import CaptioningTransformer
 from deephumor_tpu.models.caption_models import _tile_tree
 
 VOCAB, LEN, BEAM, TOPK, BATCH = 128, 128, 7, 50, 256
 HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
-ROWS = BATCH * BEAM
 ITERS = 100
+ATTN = "pallas"
+SAMPLER = "pallas"
+
+# DH_LEDGER_SMOKE=1: tiny shapes + interpreted kernels, CPU-runnable —
+# validates the script's plumbing before a hardware window (timings are
+# meaningless). The pallas sampler has no interpret path through the
+# engine, so the engine leg uses the exact sampler under smoke.
+if SMOKE:
+    LEN, BEAM, TOPK, BATCH = 32, 3, 16, 8
+    HID, LAYERS, HEADS, PF = 64, 2, 2, 128
+    ITERS = 2
+    ATTN = "pallas_interpret"
+    SAMPLER = "exact"
+
+ROWS = BATCH * BEAM
+
+# probe positions, derived from LEN (at LEN=128 these reproduce the
+# figures the docstring cites: tip pos=120/c=112, mid pos=60/pe=72/c=48,
+# compact pe=64)
+POS_TIP = LEN - 8
+C_TIP = max(8, LEN - 16)
+POS_MID = max(8, LEN // 2 - 4)
+PE_MID = ((POS_MID + 12 + 7) // 8) * 8
+C_MID = max(8, ((POS_MID - 12) // 8) * 8)
+PE_COMPACT = ((POS_MID + 4 + 7) // 8) * 8
 
 
 def amortized(loop, *args, iters=ITERS):
@@ -118,7 +150,7 @@ def main():
         _tfm._CANON_NO_IDS = bool(no_ids)
         try:
             step = model._make_step(
-                p, consts, "pallas", p_eff=pe, return_hidden=True,
+                p, consts, ATTN, p_eff=pe, return_hidden=True,
                 canon_c=c if canon else None)
             t = step_loop(step, st, tokens)
         finally:
@@ -126,15 +158,18 @@ def main():
         results[name] = t
         print(f"{name:44s} {t*1e3:7.3f} ms", flush=True)
 
-    bench_step("step tip (pos=120, pe=136) full-width", 120, None, 112,
-               False)
-    bench_step("step tip canon c=112 (+ids)", 120, None, 112, True)
-    bench_step("step tip canon c=112 (no ids)", 120, None, 112, True,
-               no_ids=True)
-    bench_step("step mid (pos=60, pe=72) full-width", 60, 72, 48, False)
-    bench_step("step mid canon c=48 (+ids)", 60, 72, 48, True)
-    bench_step("step mid canon c=48 (no ids)", 60, 72, 48, True,
-               no_ids=True)
+    bench_step(f"step tip (pos={POS_TIP}, pe={p_cache}) full-width",
+               POS_TIP, None, C_TIP, False)
+    bench_step(f"step tip canon c={C_TIP} (+ids)", POS_TIP, None, C_TIP,
+               True)
+    bench_step(f"step tip canon c={C_TIP} (no ids)", POS_TIP, None,
+               C_TIP, True, no_ids=True)
+    bench_step(f"step mid (pos={POS_MID}, pe={PE_MID}) full-width",
+               POS_MID, PE_MID, C_MID, False)
+    bench_step(f"step mid canon c={C_MID} (+ids)", POS_MID, PE_MID,
+               C_MID, True)
+    bench_step(f"step mid canon c={C_MID} (no ids)", POS_MID, PE_MID,
+               C_MID, True, no_ids=True)
 
     # ---- engine-without-decoder ----
     from deephumor_tpu.models.sampling import beam_search
@@ -154,7 +189,7 @@ def main():
     def engine(key):
         return beam_search(
             key, fake_step, st, logits0, beam_size=BEAM, top_k=TOPK,
-            temperature=1.1, max_len=LEN, sampler="pallas",
+            temperature=1.1, max_len=LEN, sampler=SAMPLER,
             shuffle_fn=model._shuffle_state, classifier=classifier,
             live_fn=lambda s: s.get("live"))
 
@@ -168,14 +203,15 @@ def main():
           f"{t_eng*1e3:7.3f} ms/step", flush=True)
 
     # ---- boundary costs ----
-    st = at_pos(60, 48)
+    st = at_pos(POS_MID, C_MID)
     ended = jnp.zeros((BATCH, BEAM), bool)
     seq = jnp.zeros((BATCH, BEAM, LEN), jnp.int32)
     val = jnp.zeros((BATCH, BEAM), jnp.float32)
 
     @jax.jit
     def canonize(st):
-        s2, _, _, _ = model._canonicalize_state(st, seq, val, ended, c=48)
+        s2, _, _, _ = model._canonicalize_state(st, seq, val, ended,
+                                                c=C_MID)
         return s2["shared"][0]["sk"]
 
     @jax.jit
@@ -185,11 +221,11 @@ def main():
                   cross=consts["cross"],
                   enc_key_mask=consts["enc_key_mask"])
         s2, _, _, _ = model._compact_state(
-            st, seq, val, ended, prefix_positions=64)
+            st, seq, val, ended, prefix_positions=PE_COMPACT)
         return s2["cache"][0]["k"]
 
-    for name, fn in (("canonicalize boundary (c=48)", canonize),
-                     ("compaction boundary (pe=64)", compact)):
+    for name, fn in ((f"canonicalize boundary (c={C_MID})", canonize),
+                     (f"compaction boundary (pe={PE_COMPACT})", compact)):
         out = fn(st)
         np.asarray(out).ravel()[0]
         t0 = time.perf_counter()
@@ -200,8 +236,8 @@ def main():
               flush=True)
 
     # ---- summary ----
-    full = results["step tip (pos=120, pe=136) full-width"]
-    canon = results["step tip canon c=112 (+ids)"]
+    full = results[f"step tip (pos={POS_TIP}, pe={p_cache}) full-width"]
+    canon = results[f"step tip canon c={C_TIP} (+ids)"]
     print(f"\ntip step speedup canon/full: {full/canon:.2f}x; engine "
           f"residual {t_eng*1e3:.3f} ms/step rides every config")
 
