@@ -37,6 +37,7 @@ honesty, not effect.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -211,7 +212,14 @@ def bench_end_to_end(render=True):
 
     model, params = _word_model(VOCAB)
     vocab = Vocab([f"w{i}" for i in range(VOCAB - 6)])
-    pipe = MemeGenerationPipeline(model, params, vocab)
+    # rendering is embarrassingly parallel across host cores: on a
+    # multi-core box use a spawn process pool (FreeType holds the GIL,
+    # so threads do not scale), leaving one core for the device loop;
+    # on a 1-core box keep the in-process thread pool.
+    ncpu = os.cpu_count() or 1
+    procs = max(0, min(ncpu - 1, 16)) if ncpu > 1 else 0
+    pipe = MemeGenerationPipeline(model, params, vocab,
+                                  render_processes=procs)
 
     rng = np.random.default_rng(0)
     ids = [f"tmpl{i}" for i in range(300)]
@@ -235,6 +243,10 @@ def bench_end_to_end(render=True):
     # if shapes match; pad_to=BATCH keeps one executable)
     pipe.generate_captions(work[:BATCH], key=jax.random.PRNGKey(0),
                            pad_to=BATCH, **gen)
+    if render:
+        # spawn render workers + ship the template snapshot up front —
+        # serving setups pay this once at startup, not per request
+        pipe.warm_render_pool()
     t0 = time.perf_counter()
     if render:
         outputs = pipe.generate_memes_batched(
@@ -248,6 +260,7 @@ def bench_end_to_end(render=True):
                 pad_to=BATCH, **gen)
     dt = time.perf_counter() - t0
     assert len(outputs) == len(work)
+    pipe.close()
     return len(work) / dt, t_encode
 
 

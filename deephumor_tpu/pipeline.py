@@ -237,6 +237,26 @@ class MemeGenerationPipeline:
             self._proc_pool_version = self._images_version
         return self._proc_pool
 
+    def warm_render_pool(self):
+        """Pre-spawns the render process pool (no-op for threads).
+
+        Pool creation is otherwise lazy: the first ``generate_memes*``
+        call pays worker spawn plus the template-image snapshot transfer
+        (~100 MB for 300 templates). Serving setups (and benchmarks)
+        call this once after ``add_templates`` to move that cost out of
+        the request path. One trivial render per worker forces every
+        worker's initializer (spawn import + snapshot decode) to finish
+        before returning.
+        """
+        if not self.render_processes or not self._images:
+            return
+        pool = self._render_pool()
+        tid = next(iter(self._images))
+        futs = [pool.submit(_render_proc_one, tid, "WARM <sep> UP")
+                for _ in range(self.render_processes)]
+        for f in futs:
+            f.result()
+
     def close(self):
         """Shuts the process render pool down (no-op for threads)."""
         if self._proc_pool is not None:

@@ -375,3 +375,57 @@ def test_word_compose_overlap_falls_back_exactly():
         arr_b, xb, yb = raw
         assert (xa, ya) == (xb, yb)
         np.testing.assert_array_equal(arr_a, arr_b)
+
+
+_OTHER_FACES = [
+    p for p in (
+        "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    )
+    if __import__("os").path.exists(p)
+]
+
+
+@pytest.mark.parametrize("face", _OTHER_FACES)
+def test_compose_and_measure_parity_on_other_font_families(face):
+    """The glyph/word-compose and learned-measurement machinery is
+    self-validating per FACE (kern-pair safety, interval pinning, the
+    32-answer validation window), so its exactness must hold on font
+    families with different metrics than the packaged DejaVu Sans Bold —
+    a serif face with different kerning tables and a monospace face with
+    none. Skipped when the host lacks the standard DejaVu variants."""
+    import deephumor_tpu.imaging.caption as cap
+    from deephumor_tpu.imaging.caption import _draw_dilate_bordered, _load_font
+
+    rng = np.random.default_rng(5)
+    vocab = ["WHEN", "AVATAR", "1917", "W.", "!?", "'EM", "TO", "YA",
+             "LTAV", "AWAY", "THE", "X-1"]
+    for size in (17, 35):
+        font = _load_font(face, size)
+        # measurement parity through learning -> pinned regimes
+        meas = cap._FastMeasure(font, cap._composer_for(font))
+        for _ in range(250):
+            k = int(rng.integers(1, 5))
+            s = " ".join(vocab[rng.integers(0, len(vocab))]
+                         for _ in range(k))
+            assert meas.measure(s) == font.getbbox(s)[2:], (face, size, s)
+
+        # render parity: memoized compose path vs whole-line raster
+        for _ in range(6):
+            k = int(rng.integers(1, 5))
+            text = " ".join(vocab[rng.integers(0, len(vocab))]
+                            for _ in range(k))
+            xy = (float(rng.uniform(0, 30)), float(rng.uniform(0, 40)))
+            a = Image.new("RGB", (900, 200), (40, 80, 120))
+            _draw_dilate_bordered(a, xy, text, font, 2)
+            b = Image.new("RGB", (900, 200), (40, 80, 120))
+            orig = cap._COMPOSE_SAFE
+            cap._COMPOSE_SAFE = frozenset()  # force whole-line raster
+            try:
+                _draw_dilate_bordered(b, xy, text, font, 2)
+            finally:
+                cap._COMPOSE_SAFE = orig
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{face} {size} {text!r}")

@@ -192,6 +192,9 @@ def test_process_pool_render_matches_threads(setup):
         pipe = MemeGenerationPipeline(model, params, vocab,
                                       render_processes=procs)
         pipe.add_templates(["a", "b"], images, pil_images=pils)
+        # warm is a no-op for threads, pre-spawns workers for procs;
+        # either way the rendered output must be unaffected
+        pipe.warm_render_pool()
         out = pipe.generate_memes(
             ["a", "b"], key=jax.random.PRNGKey(3), max_len=8,
             beam_size=2, top_k=5)
