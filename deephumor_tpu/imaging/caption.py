@@ -232,6 +232,12 @@ class _LineComposer:
 
     def __init__(self, font):
         self.font = font
+        # one lock per (path, size) face, shared with the measurement
+        # learner (_FastMeasure references it): the pipeline renders on a
+        # thread pool, and the learned caches' multi-step updates are not
+        # GIL-atomic. Rendering threads are GIL-bound anyway (FreeType
+        # holds the GIL), so serializing them costs nothing real.
+        self.lock = threading.RLock()
         self._adv = {}
         self._kern = {}
         self._glyphs = {}
@@ -306,6 +312,10 @@ class _LineComposer:
         line contains a pair that does not shape decomposably (caller
         must use the whole-line rasterizer).
         """
+        with self.lock:
+            return self._compose_impl(line, fx, fy)
+
+    def _compose_impl(self, line, fx, fy):
         pair_ok = self._pair_ok
         prev = line[0] if line else None
         for b in line[1:]:
@@ -447,6 +457,10 @@ class _LineComposer:
 
 
 _COMPOSERS = {}
+# guards BOTH registries' get/evict/move-to-end sequences (the bare
+# ``del`` dance is not thread-safe under the pipeline's render pool);
+# RLock because _measurer_for calls _composer_for
+_REG_LOCK = threading.RLock()
 
 
 def _composer_for(font):
@@ -457,6 +471,11 @@ def _composer_for(font):
     if not (isinstance(path, str) and _load_font(path, font.size) is font):
         return None
     key = (path, font.size)
+    with _REG_LOCK:
+        return _composer_locked(key, font)
+
+
+def _composer_locked(key, font):
     comp = _COMPOSERS.get(key)
     if comp is None:
         # bound raster memory across font sizes; evict the least-recent
@@ -522,6 +541,7 @@ class _FastMeasure:
     def __init__(self, font, composer):
         self.font = font
         self.comp = composer
+        self._lock = composer.lock  # shared: both mutate comp's caches
         self._adv26 = {}
         self._kern26 = {}
         self._xiv = {}   # ch -> [lo, hi] inclusive interval for xmax26
@@ -740,6 +760,10 @@ class _FastMeasure:
                 or not _COMPOSE_SAFE.issuperset(text)):
             _, _, r, b = self.font.getbbox(text)
             return r, b
+        with self._lock:
+            return self._measure_impl(text)
+
+    def _measure_impl(self, text):
         # pair-safety pre-scan, inlined as dict hits (the method call per
         # pair costs more than the lookup once everything is cached)
         pair_ok = self.comp._pair_ok
@@ -846,6 +870,11 @@ def _measurer_for(font):
     if comp is None:
         return None
     key = (font.path, font.size)
+    with _REG_LOCK:
+        return _measurer_locked(key, font, comp)
+
+
+def _measurer_locked(key, font, comp):
     meas = _MEASURERS.get(key)
     if meas is None:
         # a font-fit descent touches every size in its range, so varied

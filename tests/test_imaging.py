@@ -429,3 +429,31 @@ def test_compose_and_measure_parity_on_other_font_families(face):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b),
                 err_msg=f"{face} {size} {text!r}")
+
+
+def test_threaded_render_matches_sequential():
+    """memeify_image must be thread-safe: the pipeline renders on a
+    thread pool sharing the composer/measurer caches, whose multi-step
+    updates need the per-face lock. Renders from 8 concurrent threads
+    must be pixel-identical to sequential renders of the same captions
+    (and must not crash on the registries' evict/move-to-end paths)."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    random.seed(21)
+    vocab = ["WHEN", "YOU", "SEE", "AVATAR", "1917", "THE", "MEME",
+             "W.", "!?", "LTAV", "AWAY", "ME"]
+    base = Image.new("RGB", (380, 260), (70, 90, 110))
+    caps = []
+    for _ in range(48):
+        k = random.randint(2, 9)
+        caps.append((" ".join(random.choices(vocab, k=k)),
+                     " ".join(random.choices(vocab, k=random.randint(0, 4)))))
+
+    with ThreadPoolExecutor(8) as pool:
+        threaded = list(pool.map(
+            lambda tb: np.asarray(memeify_image(base, top=tb[0],
+                                                bottom=tb[1])), caps))
+    for (top, bottom), got in zip(caps, threaded):
+        want = np.asarray(memeify_image(base, top=top, bottom=bottom))
+        np.testing.assert_array_equal(got, want, err_msg=f"{top!r}|{bottom!r}")
