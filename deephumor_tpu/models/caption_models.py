@@ -927,7 +927,21 @@ class CaptioningTransformerBase:
 
 @dataclasses.dataclass(frozen=True)
 class CaptioningTransformer(CaptioningTransformerBase):
-    """Cross-attention transformer captioner over spatial image features."""
+    """Cross-attention transformer captioner over spatial image features.
+
+    Training-from-scratch note: the spatial feature path has NO
+    BatchNorm (reference quirk, encoders.py:67 — only the global path
+    is normalized), so the decoder's cross-attention sees the trunk's
+    raw activation scale through one linear. With a randomly initialized
+    trunk those activations run ~20x hotter than a calibrated pretrained
+    trunk's, the cross-attention values swamp the token/positional
+    signal, and optimization stalls in a bag-of-words minimum (measured:
+    the same-layout decoder memorizes a toy set in ~80 steps on
+    unit-scale features and never converges at ~20x). Load a pretrained
+    trunk (``from_torch``) before training this variant, or use
+    :class:`CaptioningTransformerBase`, whose global-only conditioning
+    is BN-normalized.
+    """
 
     model_type = "captioning_transformer"
     cross_attention = True

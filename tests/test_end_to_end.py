@@ -123,3 +123,76 @@ def test_transformer_encoder_stack():
                                           pad_index=0)
     assert out.shape == (2, 5, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_overfit_memorization_greedy_reproduces(tmp_path):
+    """Memorization closure: trained to
+    near-zero loss on a one-caption-per-template dataset, greedy decode
+    through the incremental KV-cache serving path must reproduce each
+    caption token-for-token. Any misalignment between the teacher-forced
+    train forward and the decode loop (BOS/EOS off-by-one, start_emb
+    position shift, cache indexing) breaks exact reproduction even when
+    the training loss says the model is perfect."""
+    from deephumor_tpu.experiments.inference import seq_to_text
+
+    root = tmp_path / "memes"
+    (root / "images").mkdir(parents=True)
+    caps = {
+        "one": "big cat jumps high",
+        "two": "red dog sleeps now",
+        "three": "old boat sails away",
+    }
+    colors = {"one": (210, 40, 40), "two": (40, 210, 40),
+              "three": (40, 40, 210)}
+    with open(root / "templates.txt", "w") as f:
+        for label in caps:
+            f.write(f"{label}\tlink\thttp://x/{label}.jpg\n")
+            Image.new("RGB", (120, 90), colors[label]).save(
+                root / "images" / f"{label}.jpg")
+    with open(root / "captions_train.txt", "w") as f:
+        for label, c in caps.items():
+            f.write(f"{label}\t1\t{c}\n")
+
+    tok = WordPunctTokenizer()
+    vocab = build_vocab_from_file(
+        str(root / "captions_train.txt"), tok, min_df=1)
+    ds = MemeDataset(str(root), vocab, tok, split="train")
+
+    # decoder-only variant: the flagship's spatial cross-attention path
+    # has no BN on the spatial features (reference quirk), so a RANDOM
+    # trunk emits ~20x-scale enc_out that swamps the token signal and
+    # memorization stalls in a bag-of-words minimum (real pretrained
+    # trunks are calibrated; verified vs the same-layout torch decoder,
+    # which memorizes in ~80 steps on unit-scale features, exactly like
+    # our decoder). The base model's global path is BN-normalized, so it
+    # trains healthily from a random trunk while still closing the
+    # train->KV-cache-decode loop.
+    model = MODEL_REGISTRY["captioning_transformer_base"](
+        num_tokens=len(vocab), hid_dim=32, n_layers=2, n_heads=2,
+        pf_dim=64, max_len=12, enc_dropout=0.0, dec_dropout=0.0)
+    trainer = Trainer(model, "overfit", log_dir=str(tmp_path),
+                      learning_rate=5e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rows_map = trainer.build_trunk_cache(state["params"], ds)
+    trainer._build_steps()
+    batch = next(iter(BatchIterator(
+        ds, batch_size=len(caps), max_caption_len=8, image_rows=rows_map,
+        seed=0)))
+
+    loss = np.inf
+    for step in range(800):
+        state, m = trainer._train_step(
+            state, batch, jax.random.fold_in(jax.random.PRNGKey(1), step))
+        loss = float(m["loss"])
+        if loss < 0.02:
+            break
+    trainer.close()
+    assert loss < 0.05, f"failed to memorize 3 captions: loss={loss}"
+
+    labels = list(ds.images)
+    images = jnp.stack([jnp.asarray(ds.images[lab]) for lab in labels])
+    out = model.generate(state["params"], images, greedy=True,
+                         beam_size=1, top_k=len(vocab), max_len=8)
+    for lab, seq in zip(labels, np.asarray(out["chosen"])):
+        got = seq_to_text(seq, vocab)
+        assert got == caps[lab], (lab, got, seq.tolist())
