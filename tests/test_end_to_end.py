@@ -125,14 +125,19 @@ def test_transformer_encoder_stack():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_overfit_memorization_greedy_reproduces(tmp_path):
-    """Memorization closure: trained to
-    near-zero loss on a one-caption-per-template dataset, greedy decode
-    through the incremental KV-cache serving path must reproduce each
-    caption token-for-token. Any misalignment between the teacher-forced
-    train forward and the decode loop (BOS/EOS off-by-one, start_emb
-    position shift, cache indexing) breaks exact reproduction even when
-    the training loss says the model is perfect."""
+@pytest.mark.parametrize("model_key", [
+    "captioning_transformer_base", "captioning_lstm",
+    "captioning_lstm_labels"])
+def test_overfit_memorization_greedy_reproduces(model_key, tmp_path):
+    """Memorization closure: trained to near-zero loss on a
+    one-caption-per-template dataset through the Trainer's trunk-cache
+    path, greedy decode through the incremental serving path (KV caches
+    for the transformer, carried (h, c) for the LSTMs) must reproduce
+    each caption token-for-token. Any misalignment between the
+    teacher-forced train forward and the decode loop (BOS/EOS
+    off-by-one, start_emb position shift, cache indexing, shared-label
+    embedding wiring) breaks exact reproduction even when the training
+    loss says the model is perfect."""
     from deephumor_tpu.experiments.inference import seq_to_text
 
     root = tmp_path / "memes"
@@ -158,18 +163,25 @@ def test_overfit_memorization_greedy_reproduces(tmp_path):
         str(root / "captions_train.txt"), tok, min_df=1)
     ds = MemeDataset(str(root), vocab, tok, split="train")
 
-    # decoder-only variant: the flagship's spatial cross-attention path
-    # has no BN on the spatial features (reference quirk), so a RANDOM
-    # trunk emits ~20x-scale enc_out that swamps the token signal and
-    # memorization stalls in a bag-of-words minimum (real pretrained
-    # trunks are calibrated; verified vs the same-layout torch decoder,
-    # which memorizes in ~80 steps on unit-scale features, exactly like
-    # our decoder). The base model's global path is BN-normalized, so it
-    # trains healthily from a random trunk while still closing the
-    # train->KV-cache-decode loop.
-    model = MODEL_REGISTRY["captioning_transformer_base"](
-        num_tokens=len(vocab), hid_dim=32, n_layers=2, n_heads=2,
-        pf_dim=64, max_len=12, enc_dropout=0.0, dec_dropout=0.0)
+    # NOT the flagship cross-attention variant: its spatial feature path
+    # has no BN (reference quirk), so a RANDOM trunk emits ~20x-scale
+    # enc_out that swamps the token signal and memorization stalls in a
+    # bag-of-words minimum (see the CaptioningTransformer docstring;
+    # real pretrained trunks are calibrated). The base model's global
+    # path is BN-normalized, so it trains healthily from a random trunk
+    # while still closing the train -> KV-cache-decode loop.
+    hp = {
+        "captioning_transformer_base": dict(
+            hid_dim=32, n_layers=2, n_heads=2, pf_dim=64, max_len=12,
+            enc_dropout=0.0, dec_dropout=0.0),
+        "captioning_lstm": dict(
+            emb_dim=24, hidden_size=48, num_layers=1,
+            enc_dropout=0.0, dec_dropout=0.0),
+        "captioning_lstm_labels": dict(
+            emb_dim=24, hidden_size=48, num_layers=1,
+            enc_dropout=0.0, dec_dropout=0.0),
+    }[model_key]
+    model = MODEL_REGISTRY[model_key](num_tokens=len(vocab), **hp)
     trainer = Trainer(model, "overfit", log_dir=str(tmp_path),
                       learning_rate=5e-3)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -189,10 +201,17 @@ def test_overfit_memorization_greedy_reproduces(tmp_path):
     trainer.close()
     assert loss < 0.05, f"failed to memorize 3 captions: loss={loss}"
 
-    labels = list(ds.images)
-    images = jnp.stack([jnp.asarray(ds.images[lab]) for lab in labels])
+    # drive generation in batch order: row -> template -> image/label
+    row_to_tmpl = {row: t for t, row in rows_map.items()}
+    tmpls = [row_to_tmpl[int(r)] for r in batch["image_rows"]]
+    images = jnp.stack([jnp.asarray(ds.images[t]) for t in tmpls])
+    gen_kwargs = {}
+    if model.with_labels:
+        # the exact label ids the dataset fed training
+        gen_kwargs["labels"] = jnp.asarray(batch["labels"])
     out = model.generate(state["params"], images, greedy=True,
-                         beam_size=1, top_k=len(vocab), max_len=8)
-    for lab, seq in zip(labels, np.asarray(out["chosen"])):
+                         beam_size=1, top_k=len(vocab), max_len=8,
+                         **gen_kwargs)
+    for t, seq in zip(tmpls, np.asarray(out["chosen"])):
         got = seq_to_text(seq, vocab)
-        assert got == caps[lab], (lab, got, seq.tolist())
+        assert got == caps[t], (model_key, t, got, seq.tolist())
