@@ -115,26 +115,32 @@ def test_pipeline_labels_model():
     assert len(texts) == 3
 
 
-def test_generate_memes_batched_overlap(setup):
+@pytest.mark.parametrize("procs", [0, 2])
+def test_generate_memes_batched_overlap(setup, procs):
     # batched driver: results in input order, one per request, rendering
-    # overlapped with next-batch generation
+    # overlapped with next-batch generation; identical through the
+    # thread pool (procs=0) and the spawn process pool (the bench's
+    # multi-core e2e path)
     model, params, vocab = setup
-    pipe = MemeGenerationPipeline(model, params, vocab)
+    pipe = MemeGenerationPipeline(model, params, vocab,
+                                  render_processes=procs)
     rng = np.random.default_rng(2)
     images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
     pils = [Image.new("RGB", (120, 90), (30, 60, 90)) for _ in range(2)]
     pipe.add_templates(["a", "b"], images, pil_images=pils)
+    pipe.warm_render_pool()
     ids = ["a", "b"]
     work = [ids[i % len(ids)] for i in range(7)]
     out = pipe.generate_memes_batched(
         work, batch_size=3, key=jax.random.PRNGKey(5), max_len=6,
         beam_size=2, top_k=4,
     )
+    pipe.close()
     assert len(out) == 7
     assert [tid for tid, _, _ in out] == work
     for tid, text, img in out:
         assert isinstance(text, str)
-        assert img is None or img.size
+        assert img is not None and img.size == (120, 90)
 
 
 def test_template_refresh_keeps_rows_consistent(setup):
