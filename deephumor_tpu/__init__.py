@@ -26,6 +26,13 @@ def _enable_persistent_compile_cache():
     ``DEEPHUMOR_JAX_CACHE=0``; override the location with
     ``DEEPHUMOR_JAX_CACHE=/path``. Never raises — a read-only filesystem
     just skips the cache."""
+    # subprocess guard: render workers (pipeline spawn pool) set this
+    # before spawning; the gate's jax.default_backend() probe below
+    # would otherwise initialize a device backend INSIDE each worker —
+    # on a PJRT-plugin TPU host (JAX_PLATFORMS unset) that contends the
+    # single device claim and can hang the workers.
+    if _os.environ.get("DEEPHUMOR_SKIP_JAX_CACHE") == "1":
+        return
     setting = _os.environ.get("DEEPHUMOR_JAX_CACHE", "")
     if setting == "0":
         return

@@ -866,11 +866,16 @@ _MEASURERS = {}
 def _measurer_for(font):
     """Measurement learner keyed (path, size); shares the composer's
     advance/kern/pair-safety caches (same eligibility guard)."""
-    comp = _composer_for(font)
-    if comp is None:
-        return None
-    key = (font.path, font.size)
+    # one lock span across BOTH lookups: releasing between them would
+    # let a concurrent eviction delete the composer we just fetched and
+    # bind the new measurer to an orphaned composer (split state —
+    # exactly what evicting measurers alongside composers prevents).
+    # _REG_LOCK is an RLock, so the nested _composer_for acquire is fine.
     with _REG_LOCK:
+        comp = _composer_for(font)
+        if comp is None:
+            return None
+        key = (font.path, font.size)
         return _measurer_locked(key, font, comp)
 
 

@@ -46,6 +46,17 @@ def _render_proc_init(images_raw, font_path):
     _WORKER_FONT = font_path
 
 
+def _render_proc_warm(delay_s):
+    """Warm task: proves this worker's initializer finished. The small
+    sleep stops one fast worker from draining the whole warm batch
+    before slower workers come up (pool tasks are not distributed
+    one-per-worker)."""
+    import time as _time
+
+    _time.sleep(delay_s)
+    return os.getpid()
+
+
 def _render_proc_one(tid, text):
     top, bottom = split_caption(text, num_blocks=2)
     img = _WORKER_IMAGES.get(tid)
@@ -228,6 +239,14 @@ class MemeGenerationPipeline:
                 tid: (img.mode, img.size, img.tobytes())
                 for tid, img in self._images.items()
             }
+            # spawn children re-import this module, and the package
+            # import's compile-cache gate probes jax.default_backend()
+            # when no platform is pinned — on a PJRT-plugin TPU host
+            # that would initialize (and contend) the device backend in
+            # every render worker. Children inherit the env at spawn;
+            # the parent's gate already ran at its own import, so this
+            # only affects subprocesses.
+            os.environ["DEEPHUMOR_SKIP_JAX_CACHE"] = "1"
             self._proc_pool = ProcessPoolExecutor(
                 self.render_processes,
                 mp_context=multiprocessing.get_context("spawn"),
@@ -244,18 +263,23 @@ class MemeGenerationPipeline:
         call pays worker spawn plus the template-image snapshot transfer
         (~100 MB for 300 templates). Serving setups (and benchmarks)
         call this once after ``add_templates`` to move that cost out of
-        the request path. One trivial render per worker forces every
-        worker's initializer (spawn import + snapshot decode) to finish
-        before returning.
+        the request path. Returns only once every worker has finished
+        its initializer (spawn import + snapshot decode): warm tasks
+        report worker pids, and batches are resubmitted until all
+        ``render_processes`` distinct workers have answered (executor
+        tasks are not distributed one-per-worker, so a single submit
+        round proves nothing about the slower workers).
         """
         if not self.render_processes or not self._images:
             return
         pool = self._render_pool()
-        tid = next(iter(self._images))
-        futs = [pool.submit(_render_proc_one, tid, "WARM <sep> UP")
-                for _ in range(self.render_processes)]
-        for f in futs:
-            f.result()
+        seen = set()
+        for _ in range(64):  # bounded; normally 1-3 rounds
+            futs = [pool.submit(_render_proc_warm, 0.01)
+                    for _ in range(self.render_processes - len(seen))]
+            seen.update(f.result() for f in futs)
+            if len(seen) >= self.render_processes:
+                return
 
     def close(self):
         """Shuts the process render pool down (no-op for threads)."""

@@ -1,5 +1,7 @@
 """Tests for the meme caption renderer."""
 
+import os
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -383,7 +385,7 @@ _OTHER_FACES = [
         "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
         "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     )
-    if __import__("os").path.exists(p)
+    if os.path.exists(p)
 ]
 
 
@@ -410,6 +412,15 @@ def test_compose_and_measure_parity_on_other_font_families(face):
             s = " ".join(vocab[rng.integers(0, len(vocab))]
                          for _ in range(k))
             assert meas.measure(s) == font.getbbox(s)[2:], (face, size, s)
+        # NOT vacuous: a validation mismatch silently flips the learner
+        # to plain getbbox (fail-safe), which would make the equality
+        # above trivially true — the fast path must have stayed alive
+        assert meas._enabled, (face, size)
+        # and the compose path must actually decompose on this face
+        # (pair-unsafe fonts would silently compare whole-line to
+        # whole-line below)
+        comp = cap._composer_for(font)
+        assert comp.compose("AVATAR", 0.25, 0.0) != "unsafe", (face, size)
 
         # render parity: memoized compose path vs whole-line raster
         for _ in range(6):
