@@ -1,0 +1,162 @@
+"""Dynamic request batching for meme-caption serving.
+
+The TPU decode engine compiles one executable per batch shape and hits
+peak throughput at large batches (bench.py: throughput plateaus around
+~900 items/call, while a single request costs the same dispatch). A
+production endpoint receives requests one at a time, so the classic
+serving pattern applies: coalesce concurrent requests into one padded
+device batch, bounded by a maximum wait.
+
+:class:`DynamicBatcher` implements that pattern over
+:class:`~deephumor_tpu.pipeline.MemeGenerationPipeline`:
+
+- ``submit(template_id)`` returns a ``concurrent.futures.Future``
+  immediately; callers block on ``.result()`` or fan out.
+- a collector thread drains the queue into batches of up to
+  ``max_batch`` requests, waiting at most ``max_wait_ms`` after the
+  first pending request before dispatching a partial batch.
+- every device call is padded to ``max_batch`` (the pipeline's
+  ``pad_to``), so the WHOLE server runs one compiled executable — no
+  shape-churn recompiles, the first request after start is already hot.
+- with ``render=True`` the batch renders through the pipeline's host
+  pool (threads or spawn processes) and futures resolve to
+  ``(caption_text, PIL image)``; otherwise to the caption text.
+
+Reference counterpart: none — the reference serves from a notebook one
+meme at a time (deephumor_demo.ipynb cell 35). This is new TPU-serving
+surface over the same models.
+
+Example::
+
+    pipe = MemeGenerationPipeline(model, params, vocab)
+    pipe.add_templates(ids, images, pil_images=pils)
+    with DynamicBatcher(pipe, max_batch=256, max_wait_ms=5,
+                        max_len=32, beam_size=5, top_k=64) as server:
+        futs = [server.submit(tid) for tid in requests]
+        texts = [f.result() for f in futs]
+"""
+
+import itertools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+
+import jax
+
+__all__ = ["DynamicBatcher"]
+
+
+class DynamicBatcher:
+    """Coalesces concurrent caption/meme requests into padded device
+    batches (one compiled shape, bounded added latency)."""
+
+    def __init__(self, pipeline, max_batch=256, max_wait_ms=10.0,
+                 render=False, key=None, **generate_kwargs):
+        """Args:
+            pipeline: a ready :class:`MemeGenerationPipeline` (templates
+                already added).
+            max_batch: device batch size; every call is padded to it.
+            max_wait_ms: maximum time the collector holds the FIRST
+                request of a batch while more arrive (p50 latency under
+                low load ≈ this + one decode).
+            render: resolve futures to ``(text, PIL image)`` via the
+                pipeline's render pool instead of just ``text``.
+            key: base PRNG key; each batch uses ``fold_in(key, seq)``
+                so results are deterministic per (key, arrival order).
+            generate_kwargs: forwarded to the pipeline's generate call
+                (max_len, beam_size, top_k, temperature, sampler, ...).
+        """
+        self.pipeline = pipeline
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.render = render
+        self.generate_kwargs = generate_kwargs
+        self._key = key if key is not None else jax.random.PRNGKey(0)
+        self._queue = queue.SimpleQueue()
+        self._seq = itertools.count()
+        self._closed = threading.Event()
+        self.batches_dispatched = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="dh-batcher")
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+    def submit(self, template_id):
+        """Enqueue one request; returns a Future resolving to the
+        caption text (or ``(text, image)`` when rendering)."""
+        if self._closed.is_set():
+            raise RuntimeError("DynamicBatcher is closed")
+        fut = Future()
+        self._queue.put((template_id, fut))
+        return fut
+
+    def close(self, timeout=30.0):
+        """Stops the collector after draining pending requests."""
+        if not self._closed.is_set():
+            self._closed.set()
+            self._queue.put(None)  # wake the collector
+            self._worker.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- collector -----------------------------------------------------------
+    def _collect(self):
+        """Blocks for the first request, then gathers up to max_batch
+        for at most max_wait_s. Returns a (possibly empty) list."""
+        batch = []
+        item = self._queue.get()  # block until work or wake-up
+        if item is not None:
+            batch.append(item)
+        t_end = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            remaining = t_end - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            batch.append(item)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._collect()
+            if not batch:
+                if self._closed.is_set() and self._queue.empty():
+                    return
+                continue
+            ids = [tid for tid, _ in batch]
+            futs = [f for _, f in batch]
+            key = jax.random.fold_in(self._key, next(self._seq))
+            try:
+                if self.render:
+                    out = self.pipeline.generate_memes(
+                        ids, key=key, pad_to=self.max_batch,
+                        **self.generate_kwargs)
+                    results = [(text, img) for _, text, img in out]
+                else:
+                    results = self.pipeline.generate_captions(
+                        ids, key=key, pad_to=self.max_batch,
+                        **self.generate_kwargs)
+            except Exception as e:  # noqa: BLE001 — fail the batch, not the server
+                for f in futs:
+                    f.set_exception(e)
+            else:
+                self.batches_dispatched += 1
+                self.requests_served += len(futs)
+                for f, r in zip(futs, results):
+                    f.set_result(r)
+            # the close() wake-up None may have been consumed while this
+            # batch was collecting — check on every path, or a failed
+            # final batch would block _collect forever
+            if self._closed.is_set() and self._queue.empty():
+                return

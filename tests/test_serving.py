@@ -1,0 +1,142 @@
+"""Dynamic-batching serving layer tests (CPU, tiny model)."""
+
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from deephumor_tpu.data import Vocab
+from deephumor_tpu.models import CaptioningTransformerBase
+from deephumor_tpu.pipeline import MemeGenerationPipeline
+from deephumor_tpu.serving import DynamicBatcher
+
+GEN = dict(max_len=6, beam_size=2, top_k=5)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    vocab = Vocab(["when", "you", "ship", "it", "works", "and", "bug"])
+    model = CaptioningTransformerBase(
+        num_tokens=len(vocab), hid_dim=16, n_layers=1, n_heads=4,
+        pf_dim=24, max_len=16, enc_dropout=0.0, dec_dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    p = MemeGenerationPipeline(model, params, vocab)
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    pils = [Image.new("RGB", (80, 60), (40, 80, 120)) for _ in range(3)]
+    p.add_templates(["a", "b", "c"], images, pil_images=pils)
+    return p
+
+
+def test_concurrent_submits_coalesce(pipe):
+    """17 requests from 8 threads: all resolve, and the collector forms
+    multi-request batches instead of one dispatch per request."""
+    with DynamicBatcher(pipe, max_batch=6, max_wait_ms=60, **GEN) as srv:
+        ids = [("a", "b", "c")[i % 3] for i in range(17)]
+        futs = [None] * len(ids)
+
+        def submit(lo, hi):
+            for i in range(lo, hi):
+                futs[i] = srv.submit(ids[i])
+
+        threads = [threading.Thread(target=submit,
+                                    args=(i * 3, min(len(ids), i * 3 + 3)))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        texts = [f.result(timeout=120) for f in futs]
+        assert all(isinstance(t, str) for t in texts)
+        assert srv.requests_served == 17
+        # ceil(17/6)=3 minimum; coalescing must beat one-per-request
+        assert 3 <= srv.batches_dispatched < 17
+
+
+def test_sequential_determinism(pipe):
+    """Same key + same arrival order => identical results (each batch
+    key is fold_in(base, batch_seq))."""
+    runs = []
+    for _ in range(2):
+        with DynamicBatcher(pipe, max_batch=8, max_wait_ms=200,
+                            key=jax.random.PRNGKey(7), **GEN) as srv:
+            futs = [srv.submit(t) for t in ("a", "b", "c", "a", "b")]
+            runs.append([f.result(timeout=120) for f in futs])
+    assert runs[0] == runs[1]
+
+
+def test_render_mode(pipe):
+    with DynamicBatcher(pipe, max_batch=4, max_wait_ms=50, render=True,
+                        **GEN) as srv:
+        text, img = srv.submit("b").result(timeout=120)
+    assert isinstance(text, str)
+    assert img is not None and img.size == (80, 60)
+
+
+def test_failed_batch_does_not_kill_server(pipe):
+    """An unknown template fails its batch's futures with the exception;
+    the collector keeps serving later batches."""
+    with DynamicBatcher(pipe, max_batch=4, max_wait_ms=30, **GEN) as srv:
+        bad = srv.submit("nope")
+        with pytest.raises(Exception):
+            bad.result(timeout=120)
+        good = srv.submit("a")
+        assert isinstance(good.result(timeout=120), str)
+
+
+def test_close_rejects_and_drains(pipe):
+    srv = DynamicBatcher(pipe, max_batch=4, max_wait_ms=30, **GEN)
+    fut = srv.submit("c")
+    srv.close()
+    assert isinstance(fut.result(timeout=120), str)
+    with pytest.raises(RuntimeError):
+        srv.submit("a")
+
+
+def test_http_server_end_to_end():
+    """examples/serve.py --synthetic: /caption, /meme and /healthz
+    answer over real HTTP through the dynamic batcher."""
+    import io
+    import json
+    import sys
+    import urllib.request
+
+    sys.path.insert(0, "examples")
+    try:
+        import serve as serve_mod
+    finally:
+        sys.path.pop(0)
+
+    ev = threading.Event()
+    t = threading.Thread(
+        target=serve_mod.main,
+        kwargs=dict(argv=["--synthetic", "--port", "0",
+                          "--max-batch", "4", "--max-wait-ms", "20"],
+                    ready_event=ev),
+        daemon=True)
+    t.start()
+    assert ev.wait(timeout=600), "server failed to come up"
+    port = ev.httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    txt = urllib.request.urlopen(f"{base}/caption?template=one",
+                                 timeout=120).read().decode()
+    assert txt  # some caption text
+    png = urllib.request.urlopen(f"{base}/meme?template=two",
+                                 timeout=120).read()
+    img = Image.open(io.BytesIO(png))
+    assert img.size == (400, 300)
+    health = json.loads(urllib.request.urlopen(
+        f"{base}/healthz", timeout=30).read())
+    assert health["ok"] and health["requests"] >= 2
+    import urllib.error
+    try:
+        urllib.request.urlopen(f"{base}/caption?template=zzz", timeout=120)
+        assert False, "unknown template must 404/500"
+    except urllib.error.HTTPError as e:
+        assert e.code in (404, 500)
+    ev.httpd.shutdown()
