@@ -54,6 +54,7 @@ from deephumor_tpu.models.encoders import (
     image_label_encoder_init,
 )
 from deephumor_tpu.models.sampling import beam_search
+from deephumor_tpu.ops.pallas_attention import supports_fused_update
 
 _DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
 from deephumor_tpu.utils.pytree import load_params, save_params
@@ -85,7 +86,7 @@ def _cast_floats(tree, dtype):
     )
 
 
-def _default_attn_impl(num_items=None):
+def _default_attn_impl(num_items=None, d_model=None):
     """Decode self-attention impl: the fused Pallas ancestry kernel on
     accelerator backends, the XLA einsum form on CPU (where Pallas TPU
     kernels can only run interpreted). Tiny batches stay on the einsum —
@@ -98,6 +99,10 @@ def _default_attn_impl(num_items=None):
     if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
         return "xla"
     if num_items is not None and num_items < 8:
+        return "xla"
+    # narrow models cannot use the fused cache-update kernels (their
+    # rank-4 HBM DMA slices need d_model on the 128-lane tiling)
+    if d_model is not None and not supports_fused_update(d_model):
         return "xla"
     return "pallas"
 
@@ -876,7 +881,7 @@ class CaptioningTransformerBase:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
         n = (enc[0] if isinstance(enc, tuple) else enc).shape[0]
-        attn = attn or _default_attn_impl(n)
+        attn = attn or _default_attn_impl(n, self.hid_dim)
         # the positional table bounds total positions (start emb + tokens);
         # the reference would index past its table here (a latent upstream
         # IndexError at max_len=128 with char models) — we clamp instead
@@ -897,7 +902,7 @@ class CaptioningTransformerBase:
         if key is None:
             key = jax.random.PRNGKey(0)
         sampler = sampler or ("approx" if approx_top_k else "exact")
-        attn = attn or _default_attn_impl(images.shape[0])
+        attn = attn or _default_attn_impl(images.shape[0], self.hid_dim)
         max_len = min(max_len, self.max_len - 1)
         prefix_len = 0 if caption is None else caption.shape[1]
         fn = _compiled_generate(

@@ -42,9 +42,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["ancestry_attention", "ancestry_attention_update",
            "ancestry_attention_update_canon", "ancestry_attention_ids",
-           "ancestry_attention_update_flash", "ancestry_bias"]
+           "ancestry_attention_update_flash", "ancestry_bias",
+           "supports_fused_update"]
 
 MASK_FILL = -1e8
+
+# The fused update/canon/flash kernels DMA rank-4 HBM cache slices whose
+# LAST dimension is the full d_model — Mosaic requires manual-copy slices
+# to align to the (8, 128) tile in their trailing two dims, so d_model
+# must be a multiple of the 128-lane tiling (hardware-verified failure:
+# "Slice shape along dimension 3 must be aligned to tiling (128)" at
+# d_model=64). All reference configs use 512; models below the lane
+# width must take the XLA einsum decode path instead.
+_DMA_LANE = 128
+
+
+def supports_fused_update(d_model):
+    """Whether the fused Pallas cache-update kernels can lower for this
+    model width on real TPU hardware (see _DMA_LANE note above)."""
+    return d_model % _DMA_LANE == 0
+
+
+def _check_fused_width(d_model, kernel_name):
+    if not supports_fused_update(d_model):
+        raise ValueError(
+            f"{kernel_name} requires d_model % {_DMA_LANE} == 0 (HBM DMA "
+            f"lane tiling of the rank-4 cache slices), got d_model="
+            f"{d_model}. Use the XLA decode path (attn='xla') for "
+            f"narrow models."
+        )
 
 
 def _pick_block_items(start, n, row_mult):
@@ -501,6 +527,8 @@ def ancestry_attention_update(q, cache_k, cache_v, k_new, v_new, bias, pos,
     assert p % 8 == 0, p
 
     pe = p if p_eff is None else min(p_eff, p)
+    if not interpret:
+        _check_fused_width(d_model, "ancestry_attention_update")
     if block_items is None:
         # double-buffered K/V blocks + tile scratch must fit scoped VMEM
         block_items = 16 if pe <= 16 else 8
@@ -815,6 +843,7 @@ def ancestry_attention_update_canon(q, cache_k, cache_v, shared_k, shared_v,
             beam=beam, n_heads=n_heads, c=c, p_eff=p_eff)
         return out, ck, cv
 
+    _check_fused_width(d_model, "ancestry_attention_update_canon")
     if block_items is None:
         block_items = 16 if (c + beam * w) <= 16 * 48 else 8
     block_items = _pick_block_items(block_items, num_items, beam)
@@ -1262,6 +1291,7 @@ def ancestry_attention_update_flash(q, cache_k, cache_v, k_new, v_new,
     assert p % 8 == 0, p
     n_tiles = p // 8
 
+    _check_fused_width(d_model, "ancestry_attention_update_flash")
     block_items = _pick_block_items(block_items, num_items, beam)
     bi = block_items
 

@@ -28,13 +28,16 @@ import numpy as np
 import jax, jax.numpy as jnp
 t0 = time.time()
 print(jax.devices())
+# hid_dim must stay on the 128-lane tiling: the fused cache-update
+# kernels DMA rank-4 HBM slices with d_model in the last dim (narrower
+# models auto-fall back to the XLA path, which this smoke must NOT take)
 from deephumor_tpu.models import CaptioningTransformer
-m = CaptioningTransformer(num_tokens=512, hid_dim=64, n_layers=2,
-                          n_heads=4, pf_dim=128, max_len=18)
+m = CaptioningTransformer(num_tokens=512, hid_dim=512, n_layers=2,
+                          n_heads=8, pf_dim=128, max_len=18)
 p = m.init(jax.random.PRNGKey(0))
 r = np.random.default_rng(0)
-emb = jnp.asarray(r.normal(size=(64, 64)).astype(np.float32))
-spa = jnp.asarray(r.normal(size=(64, 49, 64)).astype(np.float32))
+emb = jnp.asarray(r.normal(size=(64, 512)).astype(np.float32))
+spa = jnp.asarray(r.normal(size=(64, 49, 512)).astype(np.float32))
 out = m.generate_from_emb(p, (emb, spa), key=jax.random.PRNGKey(1),
                           max_len=16, beam_size=5, top_k=16,
                           sampler="pallas")
