@@ -64,6 +64,10 @@ def supports_fused_update(d_model):
 
 
 def _check_fused_width(d_model, kernel_name):
+    # the constraint is a property of the REAL Mosaic DMA lowering; the
+    # CPU interpreter (tests, force_tpu_interpret_mode) has no tiling
+    if jax.default_backend() == "cpu":
+        return
     if not supports_fused_update(d_model):
         raise ValueError(
             f"{kernel_name} requires d_model % {_DMA_LANE} == 0 (HBM DMA "
@@ -770,12 +774,17 @@ def _kernel_native4d_update_canon(pos_ref, q_ref, sk_ref, sv_ref, k_ref,
     tile_win = pl.multiple_of(tile_abs - c, 8)
     sel8 = jax.lax.broadcasted_iota(jnp.int32, (bi, beam, 8, 1),
                                     2) == pos % 8
+    # re-read the touched 8-tile from the window SCRATCH REF with a
+    # dynamic sublane-aligned pl.ds — a dynamic_slice of the loaded
+    # VALUE does not lower on Mosaic TC (hardware-verified
+    # NotImplementedError; same constraint the full-width kernel
+    # documents for its staging copy)
     kw_ref[:] = jnp.where(
         sel8, knew_ref[:].astype(kw_ref.dtype),
-        jax.lax.dynamic_slice_in_dim(kwin, tile_win, 8, axis=2))
+        kwin_ref[slot, :, :, pl.ds(tile_win, 8), :])
     vw_ref[:] = jnp.where(
         sel8, vnew_ref[:].astype(vw_ref.dtype),
-        jax.lax.dynamic_slice_in_dim(vwin, tile_win, 8, axis=2))
+        vwin_ref[slot, :, :, pl.ds(tile_win, 8), :])
     # this block's window-input DMAs completed above — their slot's
     # semaphores are free to carry the writeback (sflag channels are a
     # scarce program-wide resource; phases x layers multiply every
@@ -1291,7 +1300,8 @@ def ancestry_attention_update_flash(q, cache_k, cache_v, k_new, v_new,
     assert p % 8 == 0, p
     n_tiles = p // 8
 
-    _check_fused_width(d_model, "ancestry_attention_update_flash")
+    if not interpret:
+        _check_fused_width(d_model, "ancestry_attention_update_flash")
     block_items = _pick_block_items(block_items, num_items, beam)
     bi = block_items
 
