@@ -41,8 +41,20 @@ from deephumor_tpu.ops import pallas_attention as pallas_attn
 # timing-probe knob, read ONCE at import: it changes the traced program,
 # and the engine's compiled-generate lru_cache does not key on it — a
 # mid-process toggle would silently reuse the stale executable.
+#
+# Misuse guard: this knob disables the correctness-restoring straggler
+# recompute (ids kernel) and makes straggler rows silently garbage — it is
+# ONLY meaningful inside timing benchmarks. Refuse to honor it unless the
+# process also opts into DH_BENCH_UNSAFE=1, so a stray env var can never
+# corrupt a serving process.
 _CANON_NO_IDS = os.environ.get("DH_CANON_NO_IDS", "").lower() in (
     "1", "true", "yes", "on")
+if _CANON_NO_IDS and os.environ.get("DH_BENCH_UNSAFE", "") != "1":
+    raise RuntimeError(
+        "DH_CANON_NO_IDS is a benchmark-only probe that produces INCORRECT "
+        "attention for straggler rows. Set DH_BENCH_UNSAFE=1 as well to "
+        "confirm this process is a timing benchmark, or unset "
+        "DH_CANON_NO_IDS.")
 
 __all__ = [
     "mha_init",

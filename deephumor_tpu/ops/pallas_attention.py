@@ -63,10 +63,28 @@ def supports_fused_update(d_model):
     return d_model % _DMA_LANE == 0
 
 
+def _force_interpret_active():
+    """True when pltpu.force_tpu_interpret_mode() wraps this trace —
+    pallas_call then interprets regardless of its ``interpret`` flag."""
+    try:
+        from jax._src import config as _jax_config
+
+        return (
+            _jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except Exception:  # config internals moved — fail open to the check
+        return False
+
+
 def _check_fused_width(d_model, kernel_name):
     # the constraint is a property of the REAL Mosaic DMA lowering; the
-    # CPU interpreter (tests, force_tpu_interpret_mode) has no tiling
-    if jax.default_backend() == "cpu":
+    # interpreter has no tiling. Callers skip this check when their
+    # ``interpret`` flag is set; force_tpu_interpret_mode (which
+    # interprets regardless of that flag) is detected here — the active
+    # lowering, not the process's default backend, decides (ADVICE r2:
+    # a backend consult misfires in multi-backend processes).
+    if _force_interpret_active():
         return
     if not supports_fused_update(d_model):
         raise ValueError(

@@ -16,7 +16,8 @@ cd "$(dirname "$0")/.."
 run() {
   name="$1"; shift
   echo "=== $name ==="
-  timeout 1200 "$@" 2>&1 | tee "$OUT/$name.log"
+  # pipefail so the reported exit is the command's, not tee's
+  ( set -o pipefail; timeout 1200 "$@" 2>&1 | tee "$OUT/$name.log" )
   echo "=== $name exit=$? ==="
 }
 
@@ -46,10 +47,34 @@ assert toks.shape[0] == 64 and (toks >= 0).all() and (toks < 512).all()
 print("smoke OK", round(time.time() - t0, 1), "s")
 PY
 
+# 0b. Narrow-model smoke (ADVICE r2): hid_dim=64 is below the 128-lane
+#     DMA tiling, so the engine must auto-fall back to the XLA decode
+#     path on hardware instead of raising from the fused kernels.
+run smoke_narrow python - <<'PY'
+import time
+import numpy as np
+import jax, jax.numpy as jnp
+t0 = time.time()
+from deephumor_tpu.models import CaptioningTransformer
+m = CaptioningTransformer(num_tokens=256, hid_dim=64, n_layers=2,
+                          n_heads=4, pf_dim=128, max_len=18)
+p = m.init(jax.random.PRNGKey(0))
+r = np.random.default_rng(0)
+emb = jnp.asarray(r.normal(size=(16, 64)).astype(np.float32))
+spa = jnp.asarray(r.normal(size=(16, 49, 64)).astype(np.float32))
+out = m.generate_from_emb(p, (emb, spa), key=jax.random.PRNGKey(1),
+                          max_len=16, beam_size=5, top_k=16)
+toks = np.asarray(out["chosen"])
+assert toks.shape[0] == 16 and (toks >= 0).all() and (toks < 256).all()
+print("narrow smoke OK (XLA fallback)", round(time.time() - t0, 1), "s")
+PY
+
 # 1. Mosaic lowering + exactness + HONEST per-step timing of the
 #    double-buffered canon kernel and the ids straggler recompute
 #    (the pre-fix 1.63x figure had the ids kernel DCE'd out).
-run canon_validate python benchmarks/canon_validate.py
+# -m keeps the repo root on sys.path (plain ``python benchmarks/x.py``
+# puts benchmarks/ first and deephumor_tpu is not found)
+run canon_validate python -m benchmarks.canon_validate
 
 # 2. End-to-end char A/B at the serving config (canon off/on).
 run canon_char_ab python -m benchmarks.canon_char_ab

@@ -33,6 +33,37 @@ def test_top_level_reexports():
     assert "a" in v.stoi
 
 
+def test_reference_submodule_paths():
+    # every ``deephumor.<pkg>.<mod>`` path that exists on the reference
+    # (/root/reference/deephumor/*/ — vocab, tokenizers, utils, datasets,
+    # dataloaders, trainer, metrics, inference, caption, crawlers,
+    # encoders, rnn_models, transformers, beam, caption_models) must be
+    # deep-importable here, carrying the matching public symbols.
+    from deephumor.data.vocab import SPECIAL_TOKENS, Vocab, build_vocab  # noqa: F401
+    from deephumor.data.tokenizers import CharTokenizer, WordPunctTokenizer  # noqa: F401
+    from deephumor.data.utils import check_text, clean_text  # noqa: F401
+    from deephumor.data.datasets import MemeDataset  # noqa: F401
+    from deephumor.data.dataloaders import pad_collate  # noqa: F401
+    from deephumor.experiments.trainer import Trainer  # noqa: F401
+    from deephumor.experiments.metrics import perplexity  # noqa: F401
+    from deephumor.experiments.inference import (  # noqa: F401
+        seq_to_text,
+        split_caption,
+        text_to_seq,
+    )
+    from deephumor.imaging.caption import memeify_image  # noqa: F401
+    from deephumor.crawlers.crawlers import MemeGeneratorCrawler  # noqa: F401
+    from deephumor.crawlers.utils import load_image  # noqa: F401
+    import deephumor.models.encoders  # noqa: F401
+    import deephumor.models.rnn_models  # noqa: F401
+    import deephumor.models.transformers  # noqa: F401
+    import deephumor.models.beam  # noqa: F401
+    import deephumor.models.caption_models  # noqa: F401
+
+    assert Vocab(["x"]).stoi["<unk>"] == 1
+    assert clean_text("a!!!!!") == clean_text("a!!!!!")  # callable, pure
+
+
 def test_reference_layer_class_names():
     # the reference also exports the layer classes
     # (models/__init__.py:17-25) and dataset/collate at the data level

@@ -403,3 +403,32 @@ def test_compact_requires_pallas_attn():
         model.generate_from_emb(
             params, (emb, spa), key=jax.random.PRNGKey(1), max_len=8,
             beam_size=2, top_k=4, attn="xla", compact=True)
+
+
+def test_canon_no_ids_guarded_behind_bench_unsafe():
+    # DH_CANON_NO_IDS disables the straggler-recompute kernel and makes
+    # canon attention INCORRECT for straggler rows — a timing-only probe.
+    # Setting it without DH_BENCH_UNSAFE=1 must refuse at import so a
+    # stray env var can't silently corrupt a serving process
+    # (models/transformer.py module-level guard).
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("DH_CANON_NO_IDS", "DH_BENCH_UNSAFE")}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = "import deephumor_tpu.models.transformer"
+
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**env, "DH_CANON_NO_IDS": "1"},
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "DH_BENCH_UNSAFE" in proc.stderr
+
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env={**env, "DH_CANON_NO_IDS": "1", "DH_BENCH_UNSAFE": "1"},
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
