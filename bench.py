@@ -166,10 +166,13 @@ def bench_char(iters=4):
     return CHAR_BATCH * iters / (time.perf_counter() - t0)
 
 
-def bench_train(iters=20, bs=256):
+def bench_train(iters=20, bs=256, compute_dtype=None):
     """Trunk-cached jitted train step (forward+backward+optax) at the
     word config — the Trainer's serving-style amortization (reference
     anchor: trainer.py:148-149 prints epoch wall time, never records it).
+    ``compute_dtype='bfloat16'`` measures the mixed-precision step (bf16
+    decoder matmuls, f32 master weights/loss — no reference parity
+    constraint; the reference trains f32 on Colab GPU, trainer.py:66-92).
     """
     from deephumor_tpu.experiments.trainer import Trainer
     from deephumor_tpu.models import CaptioningTransformer
@@ -179,7 +182,8 @@ def bench_train(iters=20, bs=256):
         pf_dim=PF, max_len=50,  # pad-to-common-length quirk needs >= 49
     )
     trainer = Trainer(model, experiment_title="bench",
-                      log_dir="/tmp/dh_bench_logs", donate=False)
+                      log_dir="/tmp/dh_bench_logs", donate=False,
+                      compute_dtype=compute_dtype)
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     trainer._trunk_cache = jnp.asarray(
@@ -200,6 +204,33 @@ def bench_train(iters=20, bs=256):
         state, m = step(state, batch, jax.random.fold_in(key, i))
     _finish(m["loss"])
     return bs * iters / (time.perf_counter() - t0)
+
+
+def bench_serving_load(duration_s=12.0):
+    """Open-loop serving latency (VERDICT r2 #4): Poisson arrivals into
+    the DynamicBatcher at 0.3/0.6/0.85 of measured single-batch capacity;
+    p50/p99 request latency + batch-size distribution per rate. Unlike
+    ``bench_latency`` this measures queueing + padding + dispatch, not an
+    amortized device loop. See benchmarks/serving_load.py."""
+    from benchmarks.serving_load import measure_serving_load
+    from deephumor_tpu.data import Vocab
+    from deephumor_tpu.pipeline import MemeGenerationPipeline
+
+    model, params = _word_model(VOCAB)
+    vocab = Vocab([f"w{i}" for i in range(VOCAB - 6)])
+    pipe = MemeGenerationPipeline(model, params, vocab)
+    rng = np.random.default_rng(0)
+    ids = [f"tmpl{i}" for i in range(300)]
+    pipe.add_templates(
+        ids, rng.normal(size=(300, 224, 224, 3)).astype(np.float32))
+    try:
+        results, capacity = measure_serving_load(
+            pipe, ids, max_batch=256, max_wait_ms=10.0,
+            duration_s=duration_s, max_len=MAX_LEN, beam_size=BEAM,
+            top_k=64, sampler="pallas")
+    finally:
+        pipe.close()
+    return results, capacity
 
 
 def bench_end_to_end(render=True):
@@ -310,10 +341,14 @@ def main():
         lambda: bench_generation(VOCAB_SMALL, iters=6)[0])
     char_capt_s = guard("char", bench_char)
     train_ex_s = guard("train", bench_train)
+    train_bf16_ex_s = guard(
+        "train_bf16", lambda: bench_train(compute_dtype="bfloat16"))
     e2e_capt_s = guard("e2e_captions",
                        lambda: bench_end_to_end(render=False)[0])
     e2e = guard("e2e_memes", lambda: bench_end_to_end(render=True))
     e2e_memes_s, t_encode = e2e if e2e is not None else (None, None)
+    load = guard("serving_load", bench_serving_load)
+    load_rates, load_capacity = load if load is not None else (None, None)
 
     def rnd(x, nd=1):
         return None if x is None else round(x, nd)
@@ -328,10 +363,20 @@ def main():
         "word_v8192_captions_s": rnd(word_small_capt_s),
         "char_captions_s": rnd(char_capt_s),
         "train_examples_s": rnd(train_ex_s),
+        "train_bf16_examples_s": rnd(train_bf16_ex_s),
+        # 33 target tokens per example at the bench shape (no pads)
+        "train_bf16_tokens_s": rnd(
+            None if train_bf16_ex_s is None else train_bf16_ex_s * 33),
         "e2e_captions_s": rnd(e2e_capt_s),
         "e2e_memes_s": rnd(e2e_memes_s),
         "encode_300_templates_s": rnd(t_encode, 2),
     }
+    if load_rates is not None:
+        mid = load_rates[1]  # 0.6x capacity — the representative rate
+        out["serving_p50_ms"] = mid["latency_ms"]["p50"]
+        out["serving_p99_ms"] = mid["latency_ms"]["p99"]
+        out["serving_capacity_rps"] = rnd(load_capacity)
+        out["serving_load"] = load_rates
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -209,13 +209,22 @@ class Trainer:
 
     # -- steps ---------------------------------------------------------------
     def _build_steps(self):
+        import dataclasses
+
         model = self.model
+        if self.compute_dtype is not None:
+            # mixed precision runs through the model's own forward-time
+            # cast at the encoder→decoder seam
+            # (models/caption_models.py:_decoder_compute_cast): decoder
+            # params AND the encoder embedding both become bf16 — casting
+            # params alone leaves every dot promoted back to f32 and buys
+            # nothing. Master params / encoder / BN stats / loss stay f32.
+            model = dataclasses.replace(
+                model, compute_dtype=str(self.compute_dtype))
         pad = self.pad_index
         tx = self._tx
         trunk_cache = self._trunk_cache
         with_labels = getattr(model, "with_labels", False)
-
-        cdt = self.compute_dtype
 
         def compute_logits(params, batch, train, rng):
             captions = batch["captions"]
@@ -226,18 +235,6 @@ class Trainer:
                 kwargs["from_trunk"] = True
             else:
                 images = batch["images"]
-            if cdt is not None and "decoder" in params:
-                # differentiable cast: grads of the f32 master decoder
-                # flow through the bf16 compute copy. The encoder keeps
-                # f32 (tiny compute; BN stats must not round).
-                params = dict(
-                    params,
-                    decoder=jax.tree.map(
-                        lambda x: x.astype(cdt)
-                        if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                        params["decoder"],
-                    ),
-                )
             if train:
                 return model.forward(
                     params, images, inputs, train=True, rng=rng,

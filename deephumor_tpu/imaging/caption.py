@@ -26,21 +26,32 @@ __all__ = ["memeify_image", "get_maximal_font", "split_to_lines", "caption_image
 # (reference fonts/impact.ttf) — a NON-free font this package does not
 # redistribute; drop a copy at ``deephumor_tpu/imaging/fonts/impact.ttf``
 # (or any impact-style face) and it takes precedence. The PACKAGED
-# default is DejaVu Sans Bold (``fonts/default.ttf``, free license in
-# ``fonts/DEJAVU-LICENSE``), so rendering — and the pinned golden-image
-# tests — are reproducible on any host with no system-font dependence.
+# default is "DeepHumor Condensed" (``fonts/condensed.ttf``) — a
+# condensed derivative of DejaVu Sans Bold built by
+# ``scripts/make_condensed_font.py`` that matches the reference's
+# Impact meme look (license: ``fonts/DEJAVU-LICENSE``); the unmodified
+# DejaVu Sans Bold (``fonts/default.ttf``) stays next in line and keeps
+# the original golden-image tests host-independent.
 _FONT_CANDIDATES = (
     os.path.join(os.path.dirname(__file__), "fonts", "impact.ttf"),
     "/usr/share/fonts/truetype/msttcorefonts/Impact.ttf",
+    os.path.join(os.path.dirname(__file__), "fonts", "condensed.ttf"),
     os.path.join(os.path.dirname(__file__), "fonts", "default.ttf"),
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
 )
 
 
 def packaged_font_path():
-    """The font bundled with the package (host-independent; golden tests
-    pin to this)."""
+    """The unmodified DejaVu Sans Bold bundled with the package
+    (host-independent; the original golden tests pin to this)."""
     return os.path.join(os.path.dirname(__file__), "fonts", "default.ttf")
+
+
+def condensed_font_path():
+    """The packaged impact-style face (DeepHumor Condensed, a condensed
+    DejaVu Sans Bold derivative; ``scripts/make_condensed_font.py``) —
+    the default meme font when no real impact.ttf is installed."""
+    return os.path.join(os.path.dirname(__file__), "fonts", "condensed.ttf")
 
 
 def default_font_path():

@@ -86,6 +86,20 @@ def _cast_floats(tree, dtype):
     )
 
 
+def _decoder_compute_cast(model, dec_params, arrays):
+    """Casts decoder params + decoder-input arrays to the model's compute
+    dtype at the encoder→decoder seam (mixed-precision training: encoder,
+    BN statistics, master params, loss stay f32; the decoder's matmuls run
+    in ``compute_dtype``). Casting only the params is NOT enough — XLA
+    promotes ``f32 @ bf16`` back to an f32 dot, so the embedding from the
+    f32 encoder must be cast too or no matmul actually runs in bf16.
+    The casts are differentiable; gradients upcast back to f32."""
+    if model.compute_dtype == "float32":
+        return dec_params, arrays
+    dt = jnp.dtype(model.compute_dtype)
+    return _cast_floats(dec_params, dt), tuple(a.astype(dt) for a in arrays)
+
+
 def _default_attn_impl(num_items=None, d_model=None):
     """Decode self-attention impl: the fused Pallas ancestry kernel on
     accelerator backends, the XLA einsum form on CPU (where Pallas TPU
@@ -199,14 +213,18 @@ class CaptioningLSTM:
                 params["encoder"], images, dropout=self.enc_dropout,
                 train=True, rng=r_enc, from_trunk=from_trunk,
             )
+            decoder, (emb,) = _decoder_compute_cast(
+                self, params["decoder"], (emb,))
             logits = lstm_mod.lstm_decoder_forward(
-                params["decoder"], emb, captions,
+                decoder, emb, captions,
                 dropout=self.dec_dropout, train=True, rng=r_dec,
             )
             return logits, dict(params, encoder=new_enc)
         emb = image_encoder_apply(params["encoder"], images,
                                   from_trunk=from_trunk)
-        return lstm_mod.lstm_decoder_forward(params["decoder"], emb, captions)
+        decoder, (emb,) = _decoder_compute_cast(
+            self, params["decoder"], (emb,))
+        return lstm_mod.lstm_decoder_forward(decoder, emb, captions)
 
     # -- inference ---------------------------------------------------------
     def encode(self, params, images):
@@ -369,6 +387,7 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
                 dropout=self.enc_dropout, train=True, rng=r_enc,
                 from_trunk=from_trunk,
             )
+            decoder, (emb,) = _decoder_compute_cast(self, decoder, (emb,))
             logits = lstm_mod.lstm_decoder_forward(
                 decoder, emb, captions,
                 dropout=self.dec_dropout, train=True, rng=r_dec,
@@ -376,6 +395,7 @@ class CaptioningLSTMWithLabels(CaptioningLSTM):
             return logits, dict(params, encoder=new_enc)
         emb = image_label_encoder_apply(params["encoder"], images, labels,
                                         from_trunk=from_trunk)
+        decoder, (emb,) = _decoder_compute_cast(self, decoder, (emb,))
         return lstm_mod.lstm_decoder_forward(decoder, emb, captions)
 
     def encode(self, params, images, labels=None):
@@ -471,16 +491,20 @@ class CaptioningTransformerBase:
                 params["encoder"], images, dropout=self.enc_dropout,
                 train=True, rng=r_enc, from_trunk=from_trunk,
             )
+            decoder, (emb,) = _decoder_compute_cast(
+                self, params["decoder"], (emb,))
             logits = tfm.self_attn_decoder_forward(
-                params["decoder"], captions, emb, self.n_heads,
+                decoder, captions, emb, self.n_heads,
                 pad_index=self.pad_index, dropout=self.dec_dropout,
                 train=True, rng=r_dec,
             )
             return logits, dict(params, encoder=new_enc)
         emb = image_encoder_apply(params["encoder"], images,
                                   from_trunk=from_trunk)
+        decoder, (emb,) = _decoder_compute_cast(
+            self, params["decoder"], (emb,))
         return tfm.self_attn_decoder_forward(
-            params["decoder"], captions, emb, self.n_heads,
+            decoder, captions, emb, self.n_heads,
             pad_index=self.pad_index,
         )
 
@@ -961,8 +985,10 @@ class CaptioningTransformer(CaptioningTransformerBase):
                 dropout=self.enc_dropout, train=True, rng=r_enc,
                 from_trunk=from_trunk,
             )
+            decoder, (emb, spatial) = _decoder_compute_cast(
+                self, params["decoder"], (emb, spatial))
             logits = tfm.transformer_decoder_forward(
-                params["decoder"], captions, spatial, emb, self.n_heads,
+                decoder, captions, spatial, emb, self.n_heads,
                 pad_index=self.pad_index, dropout=self.dec_dropout,
                 train=True, rng=r_dec, rectangular=rectangular,
             )
@@ -971,8 +997,10 @@ class CaptioningTransformer(CaptioningTransformerBase):
             params["encoder"], images, spatial_features=True,
             from_trunk=from_trunk,
         )
+        decoder, (emb, spatial) = _decoder_compute_cast(
+            self, params["decoder"], (emb, spatial))
         return tfm.transformer_decoder_forward(
-            params["decoder"], captions, spatial, emb, self.n_heads,
+            decoder, captions, spatial, emb, self.n_heads,
             pad_index=self.pad_index, rectangular=rectangular,
         )
 

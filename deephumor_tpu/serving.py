@@ -78,6 +78,9 @@ class DynamicBatcher:
         self._closed = threading.Event()
         self.batches_dispatched = 0
         self.requests_served = 0
+        #: per-dispatch batch sizes (telemetry for load tests/monitoring;
+        #: appended by the collector thread only)
+        self.batch_sizes = []
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dh-batcher")
         self._worker.start()
@@ -153,6 +156,7 @@ class DynamicBatcher:
             else:
                 self.batches_dispatched += 1
                 self.requests_served += len(futs)
+                self.batch_sizes.append(len(futs))
                 for f, r in zip(futs, results):
                     f.set_result(r)
             # the close() wake-up None may have been consumed while this

@@ -468,3 +468,73 @@ def test_threaded_render_matches_sequential():
     for (top, bottom), got in zip(caps, threaded):
         want = np.asarray(memeify_image(base, top=top, bottom=bottom))
         np.testing.assert_array_equal(got, want, err_msg=f"{top!r}|{bottom!r}")
+
+
+def test_golden_render_condensed():
+    """Pixel-exact golden against the packaged impact-style face
+    (fonts/condensed.ttf, built by scripts/make_condensed_font.py) —
+    the default meme look matching the reference's Impact
+    (reference imaging/caption.py:6 loads fonts/impact.ttf)."""
+    import os
+
+    from deephumor_tpu.imaging.caption import condensed_font_path
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "meme_320x240_condensed.png"
+    )
+    golden = np.asarray(Image.open(golden_path))
+    img = Image.new("RGB", (320, 240), (120, 100, 80))
+    out = np.asarray(
+        memeify_image(img, top="one does not simply",
+                      bottom="render a golden meme",
+                      font_path=condensed_font_path())
+    )
+    np.testing.assert_array_equal(out, golden)
+
+
+def test_condensed_is_default_and_condensed():
+    """Without a real impact.ttf installed, default resolution picks the
+    condensed face, and its advances are genuinely narrower than the
+    unmodified DejaVu Bold (impact-style fit: more/larger text per
+    line)."""
+    from PIL import ImageFont
+
+    from deephumor_tpu.imaging.caption import (
+        condensed_font_path,
+        packaged_font_path,
+    )
+
+    resolved = default_font_path()
+    if "impact" in os.path.basename(resolved).lower():
+        pytest.skip("a real impact.ttf shadows the packaged face")
+    assert resolved == condensed_font_path()
+    s = "WHEN YOU SHIP IT"
+    w_cond = ImageFont.truetype(condensed_font_path(), 48).getbbox(s)[2]
+    w_full = ImageFont.truetype(packaged_font_path(), 48).getbbox(s)[2]
+    assert w_cond < 0.8 * w_full, (w_cond, w_full)
+
+
+def test_condensed_font_regenerates_byte_stable(tmp_path):
+    """scripts/make_condensed_font.py is deterministic: regenerating from
+    the bundled default.ttf reproduces the committed bytes exactly (so
+    the golden stays pinned and the build is auditable)."""
+    pytest.importorskip("fontTools")
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    try:
+        from make_condensed_font import condense_font
+    finally:
+        sys.path.pop(0)
+
+    from deephumor_tpu.imaging.caption import (
+        condensed_font_path,
+        packaged_font_path,
+    )
+
+    out = tmp_path / "regen.ttf"
+    condense_font(packaged_font_path(), str(out))
+    with open(condensed_font_path(), "rb") as f:
+        committed = f.read()
+    assert out.read_bytes() == committed

@@ -140,3 +140,25 @@ def test_http_server_end_to_end():
     except urllib.error.HTTPError as e:
         assert e.code in (404, 500)
     ev.httpd.shutdown()
+
+
+def test_open_loop_load_harness(pipe):
+    """benchmarks/serving_load.run_load: open-loop Poisson arrivals
+    through the batcher — every request resolves, latency is measured
+    from the SCHEDULED arrival (queueing counts), and the batch-size
+    telemetry covers exactly the requests of the window."""
+    from benchmarks.serving_load import run_load
+
+    with DynamicBatcher(pipe, max_batch=4, max_wait_ms=10, **GEN) as srv:
+        # warm the padded executable so the load window measures steady
+        # state, mirroring measure_serving_load
+        for f in [srv.submit("a") for _ in range(4)]:
+            f.result(timeout=300)
+        srv.batch_sizes.clear()
+        r = run_load(srv, ["a", "b", "c"], rate_rps=30.0, duration_s=1.0,
+                     seed=3)
+    assert r["n_requests"] >= 1
+    assert r["latency_ms"]["p50"] > 0
+    assert r["latency_ms"]["p99"] >= r["latency_ms"]["p50"]
+    bh = r["batch_sizes"]
+    assert bh["n_batches"] >= 1 and 1 <= bh["min"] <= bh["max"] <= 4

@@ -418,3 +418,57 @@ def test_tail_batch_metrics_exact():
         losses[bs] = (loss, pp)
     np.testing.assert_allclose(losses[8][0], losses[4][0], rtol=1e-5)
     np.testing.assert_allclose(losses[8][1], losses[4][1], rtol=1e-5)
+
+
+def test_bf16_train_step_tracks_f32_losses():
+    """Mixed precision (VERDICT r2 #3): compute_dtype='bfloat16' must
+    (1) actually run the decoder in bf16 — casting params alone lets XLA
+    promote every dot back to f32 (models/_decoder_compute_cast docstring)
+    — and (2) track the f32 loss curve closely (master params, encoder,
+    loss all stay f32)."""
+    import dataclasses
+
+    from deephumor_tpu.models import CaptioningTransformer
+
+    rng = np.random.default_rng(0)
+    batch2 = {
+        "captions": jnp.asarray(rng.integers(6, 64, size=(8, 12)), jnp.int32),
+        "image_rows": jnp.asarray(rng.integers(0, 4, size=(8,)), jnp.int32),
+    }
+    trunk = jnp.asarray(rng.normal(size=(4, 7, 7, 2048)).astype(np.float32))
+
+    losses = {}
+    model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                                  n_heads=4, pf_dim=48, max_len=50)
+    state = None
+    for cdt in (None, "bfloat16"):
+        tr = Trainer(model, "bf16probe", log_dir="/tmp/dh_bf16_test",
+                     compute_dtype=cdt, learning_rate=1e-2)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        tr._trunk_cache = trunk
+        tr._build_steps()
+        ls, key = [], jax.random.PRNGKey(1)
+        for i in range(8):
+            state, m = tr._train_step(state, batch2,
+                                      jax.random.fold_in(key, i))
+            ls.append(float(m["loss"]))
+        losses[cdt] = ls
+        tr.close()
+
+    # the bf16 model's forward emits actual bf16 logits
+    m_bf16 = dataclasses.replace(model, compute_dtype="bfloat16")
+    logits = m_bf16.forward(
+        state["params"], jnp.take(trunk, batch2["image_rows"], axis=0),
+        batch2["captions"][:, :-1], from_trunk=True)
+    assert logits.dtype == jnp.bfloat16
+
+    f32, bf16 = losses[None], losses["bfloat16"]
+    assert bf16[-1] < bf16[0], bf16  # still optimizes
+    rel = max(abs(a - b) / abs(a) for a, b in zip(f32, bf16))
+    assert rel < 0.02, (rel, f32, bf16)
+
+    # master params stay f32 through bf16 steps
+    assert all(
+        leaf.dtype != jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(state["params"])
+    )
