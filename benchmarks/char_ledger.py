@@ -178,25 +178,29 @@ def main():
     st["live"] = jnp.int32(BATCH)
     st["item_perm"] = jnp.arange(BATCH, dtype=jnp.int32)
 
-    def fake_step(state, tok):
-        return hidden * state["pos"][0].astype(dt), dict(
-            state, pos=state["pos"] + 1)
-
     cls = params["decoder"]["classifier"]
     classifier = (cast(cls["kernel"]), cast(cls["bias"]))
 
+    # state/hidden/logits0 MUST be jit arguments, not closure captures:
+    # captured they become executable constants (~3 GB: the tiled KV
+    # caches), which the remote (axon) tunnel re-ships at compile —
+    # measured to stall this leg for 10+ minutes.
     @jax.jit
-    def engine(key):
+    def engine(key, st, hidden, logits0):
+        def fake_step(state, tok):
+            return hidden * state["pos"][0].astype(dt), dict(
+                state, pos=state["pos"] + 1)
+
         return beam_search(
             key, fake_step, st, logits0, beam_size=BEAM, top_k=TOPK,
             temperature=1.1, max_len=LEN, sampler=SAMPLER,
             shuffle_fn=model._shuffle_state, classifier=classifier,
             live_fn=lambda s: s.get("live"))
 
-    out = engine(jax.random.PRNGKey(1))
+    out = engine(jax.random.PRNGKey(1), st, hidden, logits0)
     np.asarray(out["chosen"])
     t0 = time.perf_counter()
-    out = engine(jax.random.PRNGKey(2))
+    out = engine(jax.random.PRNGKey(2), st, hidden, logits0)
     np.asarray(out["chosen"])
     t_eng = (time.perf_counter() - t0) / (LEN - 1)
     print(f"{'engine w/o decoder (sampler+bookkeeping)':44s} "
