@@ -86,8 +86,10 @@ def sweep_canon(c, pe, pos):
         + 4 * ROWS * HID * BYTES
         + bsh.size * 4 + bwin.size * 4
     )
-    for bi in (4, 8, 16, 32):
-        if BATCH % bi:
+    for bi in (8, 16, 32, 64):
+        # bi*BEAM must be sublane-aligned or _pick_block_items falls
+        # back to ONE whole-axis block (measured: VMEM OOM at c=112)
+        if BATCH % bi or (bi * BEAM) % 8:
             continue
 
         @jax.jit
@@ -114,8 +116,8 @@ def sweep_full(pe, pos):
         + 4 * ROWS * HID * BYTES
         + bias.size * 4
     )
-    for bi in (4, 8, 16, 32):
-        if BATCH % bi:
+    for bi in (8, 16, 32):
+        if BATCH % bi or (bi * BEAM) % 8:
             continue
 
         @jax.jit
@@ -165,13 +167,24 @@ def main():
     # tip: canon c=112, phase budget pe=128, pos=120
     c_tip = max(8, ((LEN - 16) // 8) * 8)
     pe_tip = P_CACHE - 8 if P_CACHE - 8 > c_tip else P_CACHE
-    sweep_canon(c_tip, pe_tip, pos=min(LEN - 8, pe_tip - 1))
-    # mid: c=48, pe=72, pos=60
-    c_mid = max(8, ((LEN // 2 - 16) // 8) * 8)
-    pe_mid = min(P_CACHE, c_mid + 24)
-    sweep_canon(c_mid, pe_mid, pos=c_mid + 12)
-    sweep_full(pe_tip, pos=min(LEN - 8, pe_tip - 1))
-    sweep_cross()
+    legs = [
+        (functools.partial(sweep_canon, c_tip, pe_tip,
+                           pos=min(LEN - 8, pe_tip - 1)), "canon tip"),
+        # mid: c=48, pe=72, pos=60
+        (functools.partial(
+            sweep_canon, max(8, ((LEN // 2 - 16) // 8) * 8),
+            min(P_CACHE, max(8, ((LEN // 2 - 16) // 8) * 8) + 24),
+            pos=max(8, ((LEN // 2 - 16) // 8) * 8) + 12), "canon mid"),
+        (functools.partial(sweep_full, pe_tip,
+                           pos=min(LEN - 8, pe_tip - 1)), "full"),
+        (sweep_cross, "cross"),
+    ]
+    for fn, name in legs:
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — keep the other legs' data
+            print(f"{name} leg FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

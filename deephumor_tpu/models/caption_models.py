@@ -57,6 +57,14 @@ from deephumor_tpu.models.sampling import beam_search
 from deephumor_tpu.ops.pallas_attention import supports_fused_update
 
 _DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
+# canon window width (import-time, like the other canon knobs: the
+# engine's executable cache keys on shapes, not env). Any multiple of 8
+# >= 8 is EXACT (see the phase-ladder comment in generate_from_emb);
+# default 24 is the measured straggler/window-bytes sweet spot.
+_CANON_LAG = int(os.environ.get("DH_CANON_LAG", "24"))
+if _CANON_LAG < 8 or _CANON_LAG % 8:
+    raise ValueError(f"DH_CANON_LAG must be a multiple of 8 >= 8, "
+                     f"got {_CANON_LAG}")
 from deephumor_tpu.utils.pytree import load_params, save_params
 
 __all__ = [
@@ -839,12 +847,19 @@ class CaptioningTransformerBase:
                     pes.append(pe)
             pes.append(p_cache)
             # phase k runs canon iff the preceding boundary could set up
-            # a canonical prefix of c = pe - 24 >= 24 (the -24 keeps the
-            # coalescence check >= 16 positions behind the write head,
-            # where ~77-100% of items fully coalesce — measured)
+            # a canonical prefix of c = pe - lag >= 24. The default
+            # lag=24 keeps the coalescence check >= 16 positions behind
+            # the write head, where ~77-100% of items fully coalesce
+            # (measured); DH_CANON_LAG tunes the tradeoff — a smaller
+            # lag shrinks the per-step window reads (w = lag, the
+            # dominant position-independent cache traffic) but raises
+            # the straggler fraction (full-width recompute per straggler
+            # item). EXACT for any multiple of 8 >= 8: stragglers are
+            # always recomputed full-width, lag only moves the split.
+            lag = _CANON_LAG
             canon_cs = [None]
             for pe in pes[1:]:
-                c = pe - 24
+                c = pe - lag
                 canon_cs.append(c if (use_canon and c >= 24) else None)
             bounds = []
             for k, pe in enumerate(pes[:-1]):

@@ -503,3 +503,55 @@ def test_canon_and_ids_kernel_bodies_under_tpu_interpreter():
     sel = np.asarray(out_ids).reshape(ITEMS, BEAM, D)[2]
     np.testing.assert_allclose(
         sel, np.asarray(full).reshape(ITEMS, BEAM, D)[2], atol=1e-5)
+
+
+def test_generation_canon_equality_alternate_lag():
+    """DH_CANON_LAG (the canon window width knob) must stay EXACT at any
+    legal value: lag=16 shifts more items into the straggler
+    (full-width-recompute) path, and the output must remain draw-for-draw
+    identical to the full-width engine. Subprocess: the knob is
+    import-time and the generation executable cache does not key on it.
+    Also checks a bad lag refuses at import."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "DH_CANON_LAG"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from deephumor_tpu.models import CaptioningTransformer
+from deephumor_tpu.models import caption_models as cm
+assert cm._CANON_LAG == 16
+model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                              n_heads=2, pf_dim=64, max_len=80)
+params = model.init(jax.random.PRNGKey(0))
+rng = np.random.default_rng(1)
+emb = jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32))
+spa = jnp.asarray(rng.normal(size=(8, 49, 32)).astype(np.float32))
+outs = {}
+for canon in (False, True):
+    outs[canon] = model.generate_from_emb(
+        params, (emb, spa), key=jax.random.PRNGKey(7), max_len=72,
+        beam_size=4, top_k=8, attn="pallas_interpret", canon=canon)
+np.testing.assert_array_equal(np.asarray(outs[False]["chosen"]),
+                              np.asarray(outs[True]["chosen"]))
+np.testing.assert_allclose(np.asarray(outs[False]["scores"]),
+                           np.asarray(outs[True]["scores"]), atol=1e-4)
+print("lag16 equality OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env={**env, "DH_CANON_LAG": "16"},
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "lag16 equality OK" in proc.stdout
+
+    proc = subprocess.run(
+        [sys.executable, "-c", "import deephumor_tpu.models.caption_models"],
+        env={**env, "DH_CANON_LAG": "12"},
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode != 0
+    assert "DH_CANON_LAG" in proc.stderr
