@@ -59,9 +59,11 @@ from deephumor_tpu.ops.pallas_attention import supports_fused_update
 _DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
 # canon window width (import-time, like the other canon knobs: the
 # engine's executable cache keys on shapes, not env). Any multiple of 8
-# >= 8 is EXACT (see the phase-ladder comment in generate_from_emb);
-# default 24 is the measured straggler/window-bytes sweet spot.
-_CANON_LAG = int(os.environ.get("DH_CANON_LAG", "24"))
+# >= 8 is EXACT (see the phase-ladder comment in generate_from_emb).
+# Measured at the char config (benchmarks/canon_lag_ab, 2026-08-19):
+# lag=16 666.9 capt/s, lag=24 656.5, lag=32 635.1 — the window-byte
+# saving narrowly beats the straggler increase at 16.
+_CANON_LAG = int(os.environ.get("DH_CANON_LAG", "16"))
 if _CANON_LAG < 8 or _CANON_LAG % 8:
     raise ValueError(f"DH_CANON_LAG must be a multiple of 8 >= 8, "
                      f"got {_CANON_LAG}")

@@ -77,7 +77,8 @@ def _select_k(key, log_weights, k, greedy):
 
 
 def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
-                     sampler="exact", classifier=None, live_rows=None):
+                     sampler="exact", classifier=None, live_rows=None,
+                     seed=None):
     """One full-vocab top-k selection, then candidate draw + scoring in the
     reduced K-space (the hot-path equivalent of filter_top_k + draw: a
     token outside the top-K has weight exp(-inf) = 0 either way, so
@@ -101,7 +102,8 @@ def _topk_space_draw(key, logits, top_k, k, inv_t, greedy, unk_index,
         from deephumor_tpu.ops.pallas_sampler import (
             fused_classifier_topk_gumbel_sample, fused_topk_gumbel_sample)
 
-        seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+        if seed is None:
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
         if classifier is not None and classifier[0].shape[1] > 16384:
             # LARGE vocab: the in-kernel classifier matmul runs at ~1/3
             # of XLA's matmul efficiency (measured 1.06 vs 0.49 ms at
@@ -296,9 +298,31 @@ def beam_search(
     # the scan iterates s = 1 .. steps-1 (step 0 drawn above)
     steps = max_len - prefix_len
 
+    # per-step keys precomputed OUTSIDE the loop: the in-body chain
+    # fold_in(fold_in(k_scan, s), 0/1) is 2-3 threefry op groups per
+    # step — measured as a visible slice of the ~81 XLA ops/step of
+    # engine glue at the char config. Same key VALUES (fold_in of the
+    # same data), so draws are bit-identical; the body just indexes.
+    if steps > 1:
+        s_range = jnp.arange(1, steps)
+        step_keys = jax.vmap(
+            lambda s: jax.random.fold_in(k_scan, s))(s_range)
+        draw_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 0))(step_keys)
+        surv_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, 1))(step_keys)
+        draw_seeds = None
+        if sampler == "pallas" and not greedy:
+            # the pallas sampler's per-step int32 seed is also a pure
+            # function of the draw key — precompute the whole ladder
+            draw_seeds = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0, 2**31 - 1,
+                                             jnp.int32))(draw_keys)
+    else:
+        draw_keys = surv_keys = draw_seeds = None
+
     def body(carry, xs, step_fn=step_fn):
         dec_state, seq, val, ended, s = carry
-        step_key = jax.random.fold_in(k_scan, s)
 
         pos = prefix_len + s - 1
         last = jax.lax.dynamic_index_in_dim(seq, pos, axis=2, keepdims=False)
@@ -315,9 +339,11 @@ def beam_search(
             if live is not None:
                 live_rows = jnp.asarray(live, jnp.int32) * beam
         new_idx, new_val = _topk_space_draw(
-            jax.random.fold_in(step_key, 0), logits, top_k, beam, inv_t,
-            greedy, unk_index, sampler=sampler, classifier=classifier,
-            live_rows=live_rows,
+            jnp.take(draw_keys, s - 1, axis=0), logits, top_k, beam,
+            inv_t, greedy, unk_index, sampler=sampler,
+            classifier=classifier, live_rows=live_rows,
+            seed=(None if draw_seeds is None
+                  else jnp.take(draw_seeds, s - 1)),
         )  # [B*beam, beam] each
         new_idx = new_idx.reshape(num_items, beam, beam)
         new_val = new_val.reshape(num_items, beam, beam)
@@ -335,7 +361,7 @@ def beam_search(
         # survivor draw over the flattened candidate set
         flat_weight = cand_weight.reshape(num_items, beam * beam)
         surv = _select_k(
-            jax.random.fold_in(step_key, 1), flat_weight, beam, greedy
+            jnp.take(surv_keys, s - 1, axis=0), flat_weight, beam, greedy
         )  # [B, beam]
         branch = surv // beam
 
