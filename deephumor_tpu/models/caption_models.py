@@ -64,6 +64,9 @@ _DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
 # lag=16 666.9 capt/s, lag=24 656.5, lag=32 635.1 — the window-byte
 # saving narrowly beats the straggler increase at 16.
 _CANON_LAG = int(os.environ.get("DH_CANON_LAG", "16"))
+# opt-in fused survivor-bookkeeping kernel (measured neutral at char,
+# -25% at word — see _generate_impl; import-time like the other knobs)
+_FUSED_SURVIVOR = os.environ.get("DH_FUSED_SURVIVOR") == "1"
 if _CANON_LAG < 8 or _CANON_LAG % 8:
     raise ValueError(f"DH_CANON_LAG must be a multiple of 8 >= 8, "
                      f"got {_CANON_LAG}")
@@ -898,6 +901,40 @@ class CaptioningTransformerBase:
                             self._canonicalize_state, c=canon_cs[k + 1]))
                     compactors.append(
                         self._chain_boundaries(fns) if fns else None)
+        survivor_update_fn = None
+        if attn.startswith("pallas") and _FUSED_SURVIVOR:
+            # fused survivor bookkeeping: one kernel instead of ~10 XLA
+            # ops + the shuffle gathers (ops/pallas_engine). MEASURED
+            # NEGATIVE on hardware (2026-08-19) and therefore opt-in
+            # (DH_FUSED_SURVIVOR=1): char 662.0 vs 661.2 capt/s
+            # (neutral — XLA already overlaps the bookkeeping with the
+            # attention DMAs), word 2141.1 vs 2854.0 (-25%: at batch
+            # 896 the kernel's beam²-unrolled selects serialize work
+            # XLA ran concurrently). Kept: exact, hardware-validated
+            # (hw_window step 6), and the one-launch form is the base
+            # for any future on-core survivor DRAW fusion.
+            from deephumor_tpu.ops.pallas_engine import (
+                fused_survivor_update,
+            )
+
+            interp_upd = attn == "pallas_interpret"
+            pad_idx = self.pad_index
+
+            def survivor_update_fn(dec_state, raw_idx, raw_val, surv,
+                                   ended, val, seq, pos):
+                n_it, bm = surv.shape
+                valid3 = dec_state["valid"].reshape(n_it, bm, -1)
+                chosen, val2, ended2, seq2, anc2, valid2 = (
+                    fused_survivor_update(
+                        raw_idx, raw_val, surv, ended, val, seq,
+                        dec_state["anc"], valid3, pos, beam=bm,
+                        eos_index=eos_index, pad_index=pad_idx,
+                        interpret=interp_upd,
+                        live_items=dec_state.get("live")))
+                st = dict(dec_state, anc=anc2,
+                          valid=valid2.reshape(n_it * bm, -1))
+                return st, seq2, val2, ended2, chosen
+
         return beam_search(
             key,
             self._make_step(params, consts, attn,
@@ -906,7 +943,8 @@ class CaptioningTransformerBase:
             beam_size=beam_size, top_k=top_k, temperature=temperature,
             max_len=max_len, prefix=caption, prefix_len=prefix_len,
             greedy=greedy, sampler=sampler,
-            shuffle_fn=self._shuffle_state, phases=phases,
+            shuffle_fn=self._shuffle_state,
+            survivor_update_fn=survivor_update_fn, phases=phases,
             classifier=classifier,
             live_fn=live_fn, compactors=compactors,
             finalize_fn=finalize_fn,

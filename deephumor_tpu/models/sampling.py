@@ -204,6 +204,7 @@ def beam_search(
     greedy=False,
     sampler="exact",
     shuffle_fn=None,
+    survivor_update_fn=None,
     phases=None,
     classifier=None,
     live_fn=None,
@@ -248,6 +249,14 @@ def beam_search(
             count; forwarded to the fused sampler kernel so compacted-dead
             row blocks skip the draw (the model's step_fn reads the same
             count for its attention kernels).
+        survivor_update_fn: optional fused replacement for the whole
+            post-draw bookkeeping INCLUDING ``shuffle_fn``:
+            ``(dec_state, new_idx, new_val, surv, ended, val, seq, pos)
+            -> (dec_state, seq, val, ended, chosen)`` with raw
+            (unmasked) sampler candidates — must reproduce the default
+            op sequence exactly (ops/pallas_engine.fused_survivor_update
+            is the provided implementation; tests pin equality). When
+            given, ``shuffle_fn`` is not called.
         compactors: optional list aligned with ``phases[:-1]`` — each
             entry is ``fn(state, seq, val, ended) -> (state, seq, val,
             ended)`` (or None) applied at that phase boundary. Used for
@@ -347,6 +356,7 @@ def beam_search(
         )  # [B*beam, beam] each
         new_idx = new_idx.reshape(num_items, beam, beam)
         new_val = new_val.reshape(num_items, beam, beam)
+        raw_idx, raw_val = new_idx, new_val
 
         # ended branches: single pad/0-score continuation in column 0
         new_idx = jnp.where(ended[..., None], pad_index, new_idx)
@@ -363,6 +373,16 @@ def beam_search(
         surv = _select_k(
             jnp.take(surv_keys, s - 1, axis=0), flat_weight, beam, greedy
         )  # [B, beam]
+
+        if survivor_update_fn is not None:
+            # fused path: one kernel does the masking, chosen/score
+            # gathers, sequence append, ended propagation AND the
+            # model's state shuffle (ops/pallas_engine)
+            dec_state, seq, val, ended, _ = survivor_update_fn(
+                dec_state, raw_idx, raw_val, surv, ended, val, seq,
+                prefix_len + s)
+            return (dec_state, seq, val, ended, s + 1), None
+
         branch = surv // beam
 
         flat_idx = new_idx.reshape(num_items, beam * beam)

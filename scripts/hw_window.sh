@@ -116,3 +116,44 @@ assert sh.shape == un.shape and (sh == un).all(), "sharded != unsharded"
 print("shard_map x pallas OK (greedy token-equal)",
       round(time.time() - t0, 1), "s")
 PY
+
+# 6. Fused survivor-update kernel on real Mosaic: math equality on the
+#    live prefix AND the aliased dead-tail passthrough that the TPU
+#    interpreter cannot emulate (unvisited blocks must keep prior state).
+run survivor_kernel python - <<'PY'
+import numpy as np
+import jax, jax.numpy as jnp
+from deephumor_tpu.ops import pallas_engine as pe
+ITEMS, BEAM, L, P, EOS, PAD = 32, 7, 128, 136, 3, 0
+rng = np.random.default_rng(2)
+new_idx = jnp.asarray(rng.integers(4, 120, (ITEMS, BEAM, BEAM)), jnp.int32)
+new_idx = new_idx.at[0, 1, 2].set(EOS).at[3, 0, 0].set(EOS)
+new_val = jnp.asarray(rng.normal(size=(ITEMS, BEAM, BEAM)).astype(np.float32))
+surv = jnp.asarray(rng.integers(0, BEAM * BEAM, (ITEMS, BEAM)), jnp.int32)
+ended = jnp.asarray(rng.integers(0, 2, (ITEMS, BEAM)), bool)
+val = jnp.asarray(rng.normal(size=(ITEMS, BEAM)).astype(np.float32))
+seq = jnp.asarray(rng.integers(0, 120, (ITEMS, BEAM, L)), jnp.int32)
+anc = jnp.asarray(rng.integers(0, BEAM, (ITEMS, BEAM, P)), jnp.int32)
+valid = jnp.asarray(rng.integers(0, 2, (ITEMS, BEAM, P)), bool)
+pos = jnp.int32(77)
+ref = pe._reference_update(new_idx, new_val, surv, ended, val, seq, anc,
+                           valid, pos, beam=BEAM, eos_index=EOS, pad_index=PAD)
+got = pe.fused_survivor_update(new_idx, new_val, surv, ended, val, seq,
+                               anc, valid, pos, beam=BEAM, eos_index=EOS,
+                               pad_index=PAD, interpret=False)
+for g, r, n in zip(got, ref, ("chosen", "val", "ended", "seq", "anc", "valid")):
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(r), err_msg=n)
+got = pe.fused_survivor_update(new_idx, new_val, surv, ended, val, seq,
+                               anc, valid, pos, beam=BEAM, eos_index=EOS,
+                               pad_index=PAD, interpret=False, block_items=8,
+                               live_items=jnp.int32(16))
+for g, r, n in zip(got, ref, ("chosen", "val", "ended", "seq", "anc", "valid")):
+    np.testing.assert_array_equal(np.asarray(g)[:16], np.asarray(r)[:16],
+                                  err_msg="live " + n)
+for g, orig, n in ((got[1], val, "val"), (got[2], ended, "ended"),
+                   (got[3], seq, "seq"), (got[4], anc, "anc"),
+                   (got[5], valid, "valid")):
+    np.testing.assert_array_equal(np.asarray(g)[16:], np.asarray(orig)[16:],
+                                  err_msg="dead tail " + n)
+print("survivor kernel OK (math + aliased dead-tail passthrough)")
+PY

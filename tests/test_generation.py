@@ -432,3 +432,54 @@ def test_canon_no_ids_guarded_behind_bench_unsafe():
         env={**env, "DH_CANON_NO_IDS": "1", "DH_BENCH_UNSAFE": "1"},
         capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_fused_survivor_update_wiring_token_equal():
+    """DH_FUSED_SURVIVOR=1 (the opt-in fused bookkeeping path) must be
+    draw-for-draw identical to the default engine. Subprocess: the knob
+    is import-time and the generation executable cache does not key on
+    it. On CPU the fused path routes through pallas_engine's XLA
+    reference; the real kernel body is covered by
+    test_pallas_attention.py + hw_window step 6."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "DH_FUSED_SURVIVOR"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from deephumor_tpu.models import CaptioningTransformer
+from deephumor_tpu.models import caption_models as cm
+assert cm._FUSED_SURVIVOR
+model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                              n_heads=2, pf_dim=64, max_len=40)
+params = model.init(jax.random.PRNGKey(0))
+rng = np.random.default_rng(1)
+emb = jnp.asarray(rng.normal(size=(6, 32)).astype(np.float32))
+spa = jnp.asarray(rng.normal(size=(6, 49, 32)).astype(np.float32))
+out = model.generate_from_emb(params, (emb, spa), key=jax.random.PRNGKey(7),
+                              max_len=32, beam_size=4, top_k=8,
+                              temperature=1.1, attn="pallas_interpret")
+print("TOKENS", np.asarray(out["chosen"]).tolist())
+"""
+    outs = {}
+    for fused in ("0", "1"):
+        e = dict(env)
+        if fused == "1":
+            e["DH_FUSED_SURVIVOR"] = "1"
+        else:
+            code_run = code.replace("assert cm._FUSED_SURVIVOR",
+                                    "assert not cm._FUSED_SURVIVOR")
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             code if fused == "1" else code_run],
+            env=e, capture_output=True, text=True, timeout=1200)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        outs[fused] = proc.stdout
+    tok = [ln for ln in outs["0"].splitlines() if ln.startswith("TOKENS")]
+    tok1 = [ln for ln in outs["1"].splitlines() if ln.startswith("TOKENS")]
+    assert tok and tok == tok1

@@ -555,3 +555,65 @@ print("lag16 equality OK")
         capture_output=True, text=True, timeout=300)
     assert proc.returncode != 0
     assert "DH_CANON_LAG" in proc.stderr
+
+
+def test_fused_survivor_update_kernel_body_under_tpu_interpreter():
+    """The REAL fused survivor-update kernel body (lane-masked candidate
+    reductions, beam-unrolled gathers, in-place-aliased state) vs the
+    pure-XLA reference on random inputs incl. ended branches. The public
+    interpret=True path substitutes the XLA reference, so without this
+    the body has zero CPU coverage."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deephumor_tpu.ops import pallas_engine as pe
+
+    ITEMS, BEAM, L, P = 8, 3, 16, 24
+    EOS, PAD = 3, 0
+    rng = np.random.default_rng(2)
+    new_idx = jnp.asarray(rng.integers(4, 60, (ITEMS, BEAM, BEAM)),
+                          jnp.int32)
+    # plant some EOS picks so ended propagation is exercised
+    new_idx = new_idx.at[0, 1, 2].set(EOS).at[3, 0, 0].set(EOS)
+    new_val = jnp.asarray(
+        rng.normal(size=(ITEMS, BEAM, BEAM)).astype(np.float32))
+    surv = jnp.asarray(rng.integers(0, BEAM * BEAM, (ITEMS, BEAM)),
+                       jnp.int32)
+    ended = jnp.asarray(rng.integers(0, 2, (ITEMS, BEAM)), bool)
+    val = jnp.asarray(rng.normal(size=(ITEMS, BEAM)).astype(np.float32))
+    seq = jnp.asarray(rng.integers(0, 60, (ITEMS, BEAM, L)), jnp.int32)
+    anc = jnp.asarray(rng.integers(0, BEAM, (ITEMS, BEAM, P)), jnp.int32)
+    valid = jnp.asarray(rng.integers(0, 2, (ITEMS, BEAM, P)), bool)
+    pos = jnp.int32(9)
+
+    ref = pe._reference_update(new_idx, new_val, surv, ended, val, seq,
+                               anc, valid, pos, beam=BEAM, eos_index=EOS,
+                               pad_index=PAD)
+    for bi in (None, 4):
+        with pltpu.force_tpu_interpret_mode():
+            got = pe.fused_survivor_update(
+                new_idx, new_val, surv, ended, val, seq, anc, valid,
+                pos, beam=BEAM, eos_index=EOS, pad_index=PAD,
+                block_items=bi, interpret=False)
+        for g, r, name in zip(got, ref, ("chosen", "val", "ended", "seq",
+                                         "anc", "valid")):
+            np.testing.assert_array_equal(
+                np.asarray(g), np.asarray(r), err_msg=f"{name} bi={bi}")
+
+    # dynamic live grid: dead tail blocks must keep their aliased state
+    with pltpu.force_tpu_interpret_mode():
+        got = pe.fused_survivor_update(
+            new_idx, new_val, surv, ended, val, seq, anc, valid, pos,
+            beam=BEAM, eos_index=EOS, pad_index=PAD, block_items=4,
+            interpret=False, live_items=jnp.int32(4))
+    # live prefix (items 0-3) matches the reference ...
+    for g, r, name in zip(got, ref, ("chosen", "val", "ended", "seq",
+                                     "anc", "valid")):
+        np.testing.assert_array_equal(
+            np.asarray(g)[:4], np.asarray(r)[:4],
+            err_msg=f"live prefix {name}")
+    # The dead tail relies on in->out ALIASING to keep its prior state
+    # (unvisited blocks never DMA, so the shared HBM buffer is
+    # untouched). The TPU interpreter does not emulate aliased
+    # passthrough for unvisited blocks (it materializes fresh outputs),
+    # so that property is asserted on real hardware instead:
+    # scripts/hw_window.sh step 6.
