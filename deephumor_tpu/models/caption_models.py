@@ -64,8 +64,8 @@ _DEBUG_CANON = bool(os.environ.get("DH_DEBUG_CANON"))
 # lag=16 666.9 capt/s, lag=24 656.5, lag=32 635.1 — the window-byte
 # saving narrowly beats the straggler increase at 16.
 _CANON_LAG = int(os.environ.get("DH_CANON_LAG", "16"))
-# opt-in fused survivor-bookkeeping kernel (measured neutral at char,
-# -25% at word — see _generate_impl; import-time like the other knobs)
+# opt-in fused survivor-bookkeeping kernel (measured neutral at both
+# serving configs — see _generate_impl; import-time like the other knobs)
 _FUSED_SURVIVOR = os.environ.get("DH_FUSED_SURVIVOR") == "1"
 if _CANON_LAG < 8 or _CANON_LAG % 8:
     raise ValueError(f"DH_CANON_LAG must be a multiple of 8 >= 8, "
@@ -865,7 +865,15 @@ class CaptioningTransformerBase:
             canon_cs = [None]
             for pe in pes[1:]:
                 c = pe - lag
-                canon_cs.append(c if (use_canon and c >= 24) else None)
+                # engagement gate pe >= 48 is INDEPENDENT of the lag:
+                # with lag=16 the word config's short final phase
+                # (pe=40, c=24, 9 steps at batch 896) slipped in and
+                # cost the headline 2854 -> 2125 capt/s — boundary
+                # gathers + stragglers dwarf the byte saving on a short
+                # runway. At lag=24 the gate is equivalent to c >= 24
+                # (the original criterion).
+                canon_cs.append(
+                    c if (use_canon and c >= 24 and pe >= 48) else None)
             bounds = []
             for k, pe in enumerate(pes[:-1]):
                 bounds.append((pe - prefix_len - 1, self._make_step(
@@ -905,14 +913,16 @@ class CaptioningTransformerBase:
         if attn.startswith("pallas") and _FUSED_SURVIVOR:
             # fused survivor bookkeeping: one kernel instead of ~10 XLA
             # ops + the shuffle gathers (ops/pallas_engine). MEASURED
-            # NEGATIVE on hardware (2026-08-19) and therefore opt-in
-            # (DH_FUSED_SURVIVOR=1): char 662.0 vs 661.2 capt/s
-            # (neutral — XLA already overlaps the bookkeeping with the
-            # attention DMAs), word 2141.1 vs 2854.0 (-25%: at batch
-            # 896 the kernel's beam²-unrolled selects serialize work
-            # XLA ran concurrently). Kept: exact, hardware-validated
-            # (hw_window step 6), and the one-launch form is the base
-            # for any future on-core survivor DRAW fusion.
+            # NEUTRAL on hardware (2026-08-19) and therefore opt-in
+            # (DH_FUSED_SURVIVOR=1): char 662.0 vs 661.2 capt/s, word
+            # 2854.6 vs 2860.1 — the engine's bookkeeping ops simply
+            # are not the bottleneck, and the kernel's own DMA + beam²
+            # unrolled selects cost what the XLA ops did. (An earlier
+            # -25% word reading was a conflation with the canon
+            # engagement-gate regression, since fixed.) Kept: exact,
+            # hardware-validated (hw_window step 6), and the one-launch
+            # form is the base for any future on-core survivor DRAW
+            # fusion.
             from deephumor_tpu.ops.pallas_engine import (
                 fused_survivor_update,
             )
