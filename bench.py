@@ -166,13 +166,17 @@ def bench_char(iters=4):
     return CHAR_BATCH * iters / (time.perf_counter() - t0)
 
 
-def bench_train(iters=20, bs=256, compute_dtype=None):
+def bench_train(iters=20, bs=256, compute_dtype=None, tuned=False):
     """Trunk-cached jitted train step (forward+backward+optax) at the
     word config — the Trainer's serving-style amortization (reference
     anchor: trainer.py:148-149 prints epoch wall time, never records it).
     ``compute_dtype='bfloat16'`` measures the mixed-precision step (bf16
     decoder matmuls, f32 master weights/loss — no reference parity
     constraint; the reference trains f32 on Colab GPU, trainer.py:66-92).
+    ``tuned=True`` adds rectangular decoder shapes (T+1 positions instead
+    of the reference's pad-to-49 quirk; eval losses identical, divergence
+    #13) and hardware-RNG dropout keys (rng_impl='rbg') — the measured
+    levers from benchmarks/train_ab.py.
     """
     from deephumor_tpu.experiments.trainer import Trainer
     from deephumor_tpu.models import CaptioningTransformer
@@ -183,7 +187,9 @@ def bench_train(iters=20, bs=256, compute_dtype=None):
     )
     trainer = Trainer(model, experiment_title="bench",
                       log_dir="/tmp/dh_bench_logs", donate=False,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype,
+                      rectangular=tuned,
+                      rng_impl="rbg" if tuned else None)
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     trainer._trunk_cache = jnp.asarray(
@@ -343,6 +349,9 @@ def main():
     train_ex_s = guard("train", bench_train)
     train_bf16_ex_s = guard(
         "train_bf16", lambda: bench_train(compute_dtype="bfloat16"))
+    train_tuned_ex_s = guard(
+        "train_tuned",
+        lambda: bench_train(compute_dtype="bfloat16", tuned=True))
     e2e_capt_s = guard("e2e_captions",
                        lambda: bench_end_to_end(render=False)[0])
     e2e = guard("e2e_memes", lambda: bench_end_to_end(render=True))
@@ -367,6 +376,10 @@ def main():
         # 33 target tokens per example at the bench shape (no pads)
         "train_bf16_tokens_s": rnd(
             None if train_bf16_ex_s is None else train_bf16_ex_s * 33),
+        # bf16 + rectangular shapes + hardware-RNG dropout (train_ab.py)
+        "train_tuned_examples_s": rnd(train_tuned_ex_s),
+        "train_tuned_tokens_s": rnd(
+            None if train_tuned_ex_s is None else train_tuned_ex_s * 33),
         "e2e_captions_s": rnd(e2e_capt_s),
         "e2e_memes_s": rnd(e2e_memes_s),
         "encode_300_templates_s": rnd(t_encode, 2),

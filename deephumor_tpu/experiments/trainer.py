@@ -129,7 +129,7 @@ class Trainer:
                  log_dir="./logs", learning_rate=1e-3, clip_norm=3.0,
                  log_grad_norm=False, pad_index=0, schedule=None,
                  weight_decay=0.0, phases=("train", "val"), donate=False,
-                 compute_dtype=None):
+                 compute_dtype=None, rectangular=False, rng_impl=None):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
@@ -148,6 +148,29 @@ class Trainer:
             None if compute_dtype in (None, "float32")
             else jnp.dtype(compute_dtype)
         )
+        # rectangular=True runs the cross-attention decoder at the true
+        # T+1 positions instead of the reference's pad-to-common-length
+        # 49 (transformer.py:transformer_decoder_forward). Logits at real
+        # positions are identical (divergence #13) and eval losses match
+        # exactly; train dropout masks are shape-dependent, so train
+        # losses match the padded path in distribution, not
+        # sample-for-sample. Measured on v5e (benchmarks/train_ab.py,
+        # bf16, bs=256, V=29184): ~1.5x examples/s — the quirk's extra 16
+        # positions cost a third of every decoder/classifier matmul and
+        # most of the step's 450 layout copies. Ignored (with one
+        # warning) for models whose forward has no rectangular path.
+        self.rectangular = rectangular
+        # rng_impl="rbg" rebuilds the per-step dropout key as an XLA
+        # RngBitGenerator key INSIDE the jitted step: threefry mask bits
+        # are ALU-heavy and XLA fuses their generation (and backward
+        # rematerialization) into the big FFN dots, dragging them to
+        # ~36 TFLOP/s (benchmarks/train_profile.py). The hardware RNG
+        # frees the MXU. Dropout draws change (still deterministic per
+        # key); the f32 parity configuration keeps the default None.
+        if rng_impl not in (None, "threefry", "rbg"):
+            raise ValueError(f"rng_impl must be None|'threefry'|'rbg', "
+                             f"got {rng_impl!r}")
+        self.rng_impl = None if rng_impl == "threefry" else rng_impl
 
         stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
         self.experiment_name = f"{experiment_title}@{stamp}"
@@ -225,11 +248,26 @@ class Trainer:
         tx = self._tx
         trunk_cache = self._trunk_cache
         with_labels = getattr(model, "with_labels", False)
+        rectangular = self.rectangular
+        if rectangular:
+            import inspect
+
+            if "rectangular" not in inspect.signature(
+                    model.forward).parameters:
+                import warnings
+
+                warnings.warn(
+                    f"{type(model).__name__}.forward has no rectangular "
+                    "path (only the cross-attention transformer pads to "
+                    "a common length); ignoring rectangular=True")
+                rectangular = False
 
         def compute_logits(params, batch, train, rng):
             captions = batch["captions"]
             inputs = captions[:, :-1]
             kwargs = {"labels": batch["labels"]} if with_labels else {}
+            if rectangular:
+                kwargs["rectangular"] = True
             if "image_rows" in batch:
                 images = jnp.take(trunk_cache, batch["image_rows"], axis=0)
                 kwargs["from_trunk"] = True
@@ -270,11 +308,24 @@ class Trainer:
         # state = step(state) loop and never reuse a stepped-on state
         donate = (0,) if self.donate else ()
 
+        rng_impl = self.rng_impl
+
+        def wrap_rng(rng):
+            if rng_impl is None or rng is None:
+                return rng
+            data = (jax.random.key_data(rng)
+                    if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+                    else rng)
+            # threefry keys carry 2 words, rbg wants 4; doubling keeps
+            # the full seed entropy (idempotent for 4-word inputs)
+            data = jnp.concatenate([data, data])[:4]
+            return jax.random.wrap_key_data(data, impl=rng_impl)
+
         @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(state, batch, rng):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (pp, new_enc)), grads = grad_fn(
-                state["params"], batch, rng, True
+                state["params"], batch, wrap_rng(rng), True
             )
             grad_norm = optax.global_norm(grads)
             updates, opt_state = tx.update(

@@ -472,3 +472,87 @@ def test_bf16_train_step_tracks_f32_losses():
         leaf.dtype != jnp.bfloat16
         for leaf in jax.tree_util.tree_leaves(state["params"])
     )
+
+
+class TestTrainerTunedLevers:
+    """The round-3 train-throughput levers (benchmarks/train_ab.py):
+    rectangular decoder shapes and hardware-RNG dropout keys."""
+
+    def _mk(self, tmp_path, **kw):
+        from deephumor_tpu.models import CaptioningTransformer
+
+        model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                                      n_heads=4, pf_dim=48, max_len=50)
+        tr = Trainer(model, "tuned", log_dir=str(tmp_path),
+                     learning_rate=1e-2, **kw)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        tr._trunk_cache = jnp.asarray(
+            rng.normal(size=(4, 7, 7, 2048)).astype(np.float32))
+        tr._build_steps()
+        batch2 = {
+            "captions": jnp.asarray(
+                rng.integers(6, 64, size=(8, 12)), jnp.int32),
+            "image_rows": jnp.asarray(
+                rng.integers(0, 4, size=(8,)), jnp.int32),
+        }
+        return tr, state, batch2
+
+    def test_rectangular_eval_loss_exact(self, tmp_path):
+        # dropout is off in eval, so the padded-quirk and rectangular
+        # paths must agree to float tolerance (divergence #13)
+        tr_pad, state, batch2 = self._mk(tmp_path / "pad")
+        tr_rect, _, _ = self._mk(tmp_path / "rect", rectangular=True)
+        ref = tr_pad._eval_step(state["params"], batch2)
+        got = tr_rect._eval_step(state["params"], batch2)
+        np.testing.assert_allclose(
+            float(got["loss"]), float(ref["loss"]), rtol=1e-5)
+        tr_pad.close()
+        tr_rect.close()
+
+    def test_rectangular_train_optimizes(self, tmp_path):
+        tr, state, batch2 = self._mk(tmp_path, rectangular=True)
+        key, losses = jax.random.PRNGKey(1), []
+        for i in range(8):
+            state, m = tr._train_step(state, batch2,
+                                      jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0], losses
+        tr.close()
+
+    def test_rbg_rng_train_optimizes(self, tmp_path):
+        tr, state, batch2 = self._mk(tmp_path, rng_impl="rbg")
+        key, losses = jax.random.PRNGKey(1), []
+        for i in range(8):
+            state, m = tr._train_step(state, batch2,
+                                      jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        tr.close()
+
+    def test_rbg_accepts_rbg_key(self, tmp_path):
+        # wrap_rng must pass through keys that are already 4-word rbg keys
+        tr, state, batch2 = self._mk(tmp_path, rng_impl="rbg")
+        state, m = tr._train_step(state, batch2, jax.random.key(1, impl="rbg"))
+        assert np.isfinite(float(m["loss"]))
+        tr.close()
+
+    def test_invalid_rng_impl_raises(self, tmp_path):
+        from deephumor_tpu.models import CaptioningTransformer
+
+        model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                                      n_heads=4, pf_dim=48, max_len=50)
+        with pytest.raises(ValueError, match="rng_impl"):
+            Trainer(model, "bad", log_dir=str(tmp_path), rng_impl="philox")
+
+    def test_rectangular_ignored_without_model_support(self, tiny_model,
+                                                       batch, tmp_path):
+        tr = Trainer(tiny_model, "warn", log_dir=str(tmp_path),
+                     rectangular=True)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        with pytest.warns(UserWarning, match="no rectangular"):
+            tr._build_steps()
+        state, m = tr._train_step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["loss"]))
+        tr.close()
