@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from deephumor_tpu.experiments.metrics import masked_cross_entropy, perplexity
+from deephumor_tpu.experiments.metrics import masked_ce_and_perplexity
 from deephumor_tpu.utils.pytree import flatten_tree, unflatten_tree
 
 __all__ = ["Trainer", "make_optimizer", "frozen_mask"]
@@ -292,10 +292,12 @@ class Trainer:
             max_len = captions.shape[1]
             lengths = jnp.sum(captions != pad, axis=1)
             logits, new_params = compute_logits(params, batch, train, rng)
-            logits = logits[:, :max_len].astype(jnp.float32)
-            loss = masked_cross_entropy(logits, captions, pad)
-            pp = perplexity(logits, captions, lengths, pad,
-                            row_weights=row_valid)
+            # one fused lse+gather pass; bf16 logits stay bf16 (the [bs,
+            # T, V] f32 logp tensors were the loss phase's HBM wall —
+            # see masked_ce_and_perplexity)
+            loss, pp = masked_ce_and_perplexity(
+                logits[:, :max_len], captions, lengths, pad,
+                row_weights=row_valid)
             # only the encoder sub-tree of new_params carries state that
             # must survive (advanced BatchNorm statistics, always f32);
             # the decoder copy may be a bf16 cast and is discarded

@@ -556,3 +556,53 @@ class TestTrainerTunedLevers:
         state, m = tr._train_step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(m["loss"]))
         tr.close()
+
+
+class TestFusedCEPerplexity:
+    """masked_ce_and_perplexity must equal the two-pass formulation."""
+
+    def _case(self, dtype, seed=0):
+        from deephumor_tpu.experiments.metrics import (
+            masked_ce_and_perplexity)
+
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(
+            rng.normal(size=(6, 11, 97)).astype(np.float32) * 3.0)
+        targets = jnp.asarray(rng.integers(1, 97, size=(6, 11)), jnp.int32)
+        targets = targets.at[2, 7:].set(0).at[4, 3:].set(0)
+        lengths = jnp.sum(targets != 0, axis=1)
+        rw = jnp.asarray([1, 1, 1, 1, 0, 1], jnp.float32)
+
+        lo = logits.astype(dtype)
+        ref_in = lo.astype(jnp.float32)
+        ref_loss = masked_cross_entropy(ref_in, targets, 0)
+        ref_pp = perplexity(ref_in, targets, lengths, 0, row_weights=rw)
+        loss, pp = masked_ce_and_perplexity(lo, targets, lengths, 0,
+                                            row_weights=rw)
+        return (float(ref_loss), float(ref_pp)), (float(loss), float(pp))
+
+    def test_f32_matches(self):
+        (rl, rp), (l, p) = self._case(jnp.float32)
+        np.testing.assert_allclose(l, rl, rtol=1e-6)
+        np.testing.assert_allclose(p, rp, rtol=1e-6)
+
+    def test_bf16_matches_f32_upcast_reference(self):
+        # gather-then-upcast == upcast-then-gather for bf16 inputs; only
+        # reduction ordering differs
+        (rl, rp), (l, p) = self._case(jnp.bfloat16)
+        np.testing.assert_allclose(l, rl, rtol=1e-5)
+        np.testing.assert_allclose(p, rp, rtol=1e-4)
+
+    def test_no_row_weights_path(self):
+        from deephumor_tpu.experiments.metrics import (
+            masked_ce_and_perplexity)
+
+        rng = np.random.default_rng(3)
+        logits = jnp.asarray(rng.normal(size=(4, 5, 33)).astype(np.float32))
+        targets = jnp.asarray(rng.integers(1, 33, size=(4, 5)), jnp.int32)
+        lengths = jnp.sum(targets != 0, axis=1)
+        ref_loss = masked_cross_entropy(logits, targets, 0)
+        ref_pp = perplexity(logits, targets, lengths, 0)
+        loss, pp = masked_ce_and_perplexity(logits, targets, lengths, 0)
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
+        np.testing.assert_allclose(float(pp), float(ref_pp), rtol=1e-6)
