@@ -260,7 +260,7 @@ def bench_serving_load(duration_s=12.0):
         ids, rng.normal(size=(300, 224, 224, 3)).astype(np.float32))
     try:
         results, capacity = measure_serving_load(
-            pipe, ids, max_batch=256, max_wait_ms=10.0,
+            pipe, ids, max_batch=256, max_wait_ms=10.0, buckets="auto",
             duration_s=duration_s, max_len=MAX_LEN, beam_size=BEAM,
             top_k=64, sampler="pallas")
     finally:

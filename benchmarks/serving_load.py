@@ -86,6 +86,7 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
     remaining = [arrivals.size]
     lock = threading.Lock()
     size0 = len(batcher.batch_sizes)
+    pad0 = len(getattr(batcher, "pad_sizes", []))
 
     t0 = time.perf_counter()
 
@@ -121,12 +122,15 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
                        for k, v in _percentiles(lat_ms).items()},
         "batch_sizes": _batch_hist(batcher.batch_sizes[size0:]),
     }
+    pads = getattr(batcher, "pad_sizes", [])[pad0:]
+    if pads:
+        out["pad_sizes"] = _batch_hist(pads)
     return out
 
 
 def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
                          duration_s=12.0, fractions=(0.3, 0.6, 0.85),
-                         **generate_kwargs):
+                         buckets=None, **generate_kwargs):
     """Measures single-batch capacity, then runs the open-loop sweep at
     ``fractions`` of it. Returns (per-rate list, capacity_rps)."""
     import jax
@@ -134,9 +138,11 @@ def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
     from deephumor_tpu.serving import DynamicBatcher
 
     with DynamicBatcher(pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                        key=jax.random.PRNGKey(7),
+                        key=jax.random.PRNGKey(7), buckets=buckets,
                         **generate_kwargs) as server:
-        # warm the padded executable: one full batch through the server
+        # compile every bucket executable out of the measured path, then
+        # warm the full-batch path through the server itself
+        server.warmup(template_ids[0])
         futs = [server.submit(template_ids[i % len(template_ids)])
                 for i in range(max_batch)]
         for f in futs:
@@ -153,6 +159,7 @@ def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
         results = []
         for j, frac in enumerate(fractions):
             server.batch_sizes.clear()
+            server.pad_sizes.clear()
             r = run_load(server, template_ids, rate_rps=capacity * frac,
                          duration_s=duration_s, seed=100 + j)
             r["capacity_fraction"] = frac
@@ -190,7 +197,8 @@ def _main():
         ids, rng.normal(size=(n_templates, 224, 224, 3)).astype(np.float32))
 
     results, capacity = measure_serving_load(
-        pipe, ids, max_batch=max_batch, duration_s=duration, **gen)
+        pipe, ids, max_batch=max_batch, duration_s=duration,
+        buckets="auto", **gen)
     pipe.close()
     print(json.dumps({"capacity_rps": round(capacity, 1),
                       "rates": results}, indent=2))

@@ -15,9 +15,16 @@ device batch, bounded by a maximum wait.
 - a collector thread drains the queue into batches of up to
   ``max_batch`` requests, waiting at most ``max_wait_ms`` after the
   first pending request before dispatching a partial batch.
-- every device call is padded to ``max_batch`` (the pipeline's
-  ``pad_to``), so the WHOLE server runs one compiled executable — no
-  shape-churn recompiles, the first request after start is already hot.
+- every device call is padded to a size from a small, fixed ``buckets``
+  ladder (the pipeline's ``pad_to``), so the server runs a handful of
+  compiled executables — no shape-churn recompiles. By default the
+  ladder is just ``[max_batch]`` (one executable, round-2 behavior);
+  ``buckets="auto"`` adds smaller sizes so a lightly loaded server pays
+  for the batch it actually has instead of a full ``max_batch`` decode.
+  The system self-adapts: under load the queue fills batches to
+  ``max_batch`` (same peak throughput), at low load batches land in the
+  small buckets (measured on v5e: ~2.5x lower p50 at 0.3x capacity —
+  benchmarks/serving_load.py).
 - with ``render=True`` the batch renders through the pipeline's host
   pool (threads or spawn processes) and futures resolve to
   ``(caption_text, PIL image)``; otherwise to the caption text.
@@ -52,14 +59,27 @@ class DynamicBatcher:
     batches (one compiled shape, bounded added latency)."""
 
     def __init__(self, pipeline, max_batch=256, max_wait_ms=10.0,
-                 render=False, key=None, **generate_kwargs):
+                 render=False, key=None, buckets=None, **generate_kwargs):
         """Args:
             pipeline: a ready :class:`MemeGenerationPipeline` (templates
                 already added).
-            max_batch: device batch size; every call is padded to it.
+            max_batch: maximum device batch size per call.
             max_wait_ms: maximum time the collector holds the FIRST
                 request of a batch while more arrive (p50 latency under
                 low load ≈ this + one decode).
+            buckets: padded-call sizes. ``None`` = ``[max_batch]`` (one
+                executable; every call padded to max_batch).
+                ``"auto"`` = a /4 ladder down from ``max_batch`` with a
+                floor of 16 (e.g. 256 -> [16, 64, 256]): each dispatch
+                pads to the smallest bucket that fits, so low-load
+                batches run a proportionally cheaper decode. A sequence
+                of ints gives the ladder explicitly (``max_batch`` is
+                appended if missing). Each bucket is a separate compiled
+                executable — call :meth:`warmup` at startup to move the
+                compiles out of the serving path. Note sampled draws are
+                batch-shaped, so a request's caption depends on the
+                bucket its batch landed in; determinism stays per
+                (key, arrival order), exactly as without buckets.
             render: resolve futures to ``(text, PIL image)`` via the
                 pipeline's render pool instead of just ``text``.
             key: base PRNG key; each batch uses ``fold_in(key, seq)``
@@ -69,6 +89,23 @@ class DynamicBatcher:
         """
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
+        if buckets is None:
+            self.buckets = (self.max_batch,)
+        elif buckets == "auto":
+            ladder, b = {self.max_batch}, self.max_batch
+            while b > 16:
+                b = max(16, b // 4)
+                ladder.add(b)
+            self.buckets = tuple(sorted(ladder))
+        else:
+            ladder = {int(b) for b in buckets}
+            if not ladder or min(ladder) < 1:
+                raise ValueError(f"invalid buckets: {buckets!r}")
+            if max(ladder) > self.max_batch:
+                raise ValueError(
+                    f"bucket {max(ladder)} exceeds max_batch {max_batch}")
+            ladder.add(self.max_batch)  # a full batch must fit
+            self.buckets = tuple(sorted(ladder))
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.render = render
         self.generate_kwargs = generate_kwargs
@@ -81,6 +118,9 @@ class DynamicBatcher:
         #: per-dispatch batch sizes (telemetry for load tests/monitoring;
         #: appended by the collector thread only)
         self.batch_sizes = []
+        #: per-dispatch padded bucket sizes (same indexing as
+        #: ``batch_sizes``)
+        self.pad_sizes = []
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="dh-batcher")
         self._worker.start()
@@ -94,6 +134,24 @@ class DynamicBatcher:
         fut = Future()
         self._queue.put((template_id, fut))
         return fut
+
+    def _bucket_for(self, n):
+        """Smallest configured bucket that fits ``n`` requests."""
+        for b in self.buckets:
+            if b >= n:
+                return b
+        return self.max_batch  # unreachable: collector caps at max_batch
+
+    def warmup(self, template_id=None):
+        """Compiles every bucket's decode executable with one dummy call
+        each (smallest first), so no live request ever waits on a
+        compile. Uses ``template_id`` or any registered template."""
+        if template_id is None:
+            template_id = next(iter(self.pipeline._row))
+        for b in self.buckets:
+            self.pipeline.generate_captions(
+                [template_id], key=self._key, pad_to=b,
+                **self.generate_kwargs)
 
     def close(self, timeout=30.0):
         """Stops the collector after draining pending requests."""
@@ -140,15 +198,16 @@ class DynamicBatcher:
             ids = [tid for tid, _ in batch]
             futs = [f for _, f in batch]
             key = jax.random.fold_in(self._key, next(self._seq))
+            pad_to = self._bucket_for(len(ids))
             try:
                 if self.render:
                     out = self.pipeline.generate_memes(
-                        ids, key=key, pad_to=self.max_batch,
+                        ids, key=key, pad_to=pad_to,
                         **self.generate_kwargs)
                     results = [(text, img) for _, text, img in out]
                 else:
                     results = self.pipeline.generate_captions(
-                        ids, key=key, pad_to=self.max_batch,
+                        ids, key=key, pad_to=pad_to,
                         **self.generate_kwargs)
             except Exception as e:  # noqa: BLE001 — fail the batch, not the server
                 for f in futs:
@@ -157,6 +216,7 @@ class DynamicBatcher:
                 self.batches_dispatched += 1
                 self.requests_served += len(futs)
                 self.batch_sizes.append(len(futs))
+                self.pad_sizes.append(pad_to)
                 for f, r in zip(futs, results):
                     f.set_result(r)
             # the close() wake-up None may have been consumed while this

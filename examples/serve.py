@@ -133,7 +133,17 @@ def main(argv=None, ready_event=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--max-wait-ms", type=float, default=8.0)
+    ap.add_argument("--buckets", default="auto",
+                    help='"auto" (default), "none" (always pad to '
+                         "max-batch), or comma-separated sizes, e.g. "
+                         '"32,128"')
     args = ap.parse_args(argv)
+    if args.buckets == "none":
+        buckets = None
+    elif args.buckets == "auto":
+        buckets = "auto"
+    else:
+        buckets = [int(x) for x in args.buckets.split(",")]
 
     if args.synthetic:
         pipe, gen = build_synthetic()
@@ -145,12 +155,14 @@ def main(argv=None, ready_event=None):
                                args.num_templates)
 
     caption_srv = DynamicBatcher(pipe, max_batch=args.max_batch,
-                                 max_wait_ms=args.max_wait_ms, **gen)
+                                 max_wait_ms=args.max_wait_ms,
+                                 buckets=buckets, **gen)
     meme_srv = DynamicBatcher(pipe, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms, render=True,
-                              key=jax.random.PRNGKey(1), **gen)
-    # warm the compiled executable so the first request is hot
-    caption_srv.submit(next(iter(pipe._images))).result(600)
+                              buckets=buckets, key=jax.random.PRNGKey(1),
+                              **gen)
+    # compile every bucket executable so the first requests are hot
+    caption_srv.warmup()
 
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
                                 make_handler(caption_srv, meme_srv))

@@ -162,3 +162,60 @@ def test_open_loop_load_harness(pipe):
     assert r["latency_ms"]["p99"] >= r["latency_ms"]["p50"]
     bh = r["batch_sizes"]
     assert bh["n_batches"] >= 1 and 1 <= bh["min"] <= bh["max"] <= 4
+
+
+class TestBuckets:
+    """Bucketed padding: pad each dispatch to the smallest compiled
+    bucket that fits instead of always max_batch."""
+
+    def test_auto_ladder(self, pipe):
+        srv = DynamicBatcher(pipe, max_batch=256, **GEN)
+        assert srv.buckets == (256,)
+        srv.close()
+        srv = DynamicBatcher(pipe, max_batch=256, buckets="auto", **GEN)
+        assert srv.buckets == (16, 64, 256)
+        srv.close()
+        srv = DynamicBatcher(pipe, max_batch=6, buckets="auto", **GEN)
+        assert srv.buckets == (6,)
+        srv.close()
+
+    def test_explicit_ladder_appends_max_batch(self, pipe):
+        srv = DynamicBatcher(pipe, max_batch=8, buckets=[2, 4], **GEN)
+        assert srv.buckets == (2, 4, 8)
+        srv.close()
+
+    def test_invalid_buckets_raise(self, pipe):
+        with pytest.raises(ValueError):
+            DynamicBatcher(pipe, max_batch=4, buckets=[8], **GEN)
+        with pytest.raises(ValueError):
+            DynamicBatcher(pipe, max_batch=4, buckets=[], **GEN)
+        with pytest.raises(ValueError):
+            DynamicBatcher(pipe, max_batch=4, buckets=[0, 2], **GEN)
+
+    def test_dispatch_pads_to_smallest_fitting_bucket(self, pipe):
+        with DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
+                            max_wait_ms=200, **GEN) as srv:
+            srv.warmup()  # compiles both buckets
+            fut = srv.submit("a")  # lone request -> bucket 2
+            assert isinstance(fut.result(timeout=300), str)
+            # burst of 5 -> bucket 8 (single collector wait window)
+            futs = [srv.submit(t) for t in ("a", "b", "c", "a", "b")]
+            for f in futs:
+                f.result(timeout=300)
+            assert srv.pad_sizes[0] == 2
+            assert all(p in (2, 8) for p in srv.pad_sizes)
+            assert all(p >= n for p, n in
+                       zip(srv.pad_sizes, srv.batch_sizes))
+            assert any(p == 8 for p in srv.pad_sizes[1:])
+
+    def test_bucketed_determinism(self, pipe):
+        """Same key + same arrival order => identical results with
+        buckets on (pad size is a deterministic function of batch)."""
+        runs = []
+        for _ in range(2):
+            with DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
+                                max_wait_ms=200,
+                                key=jax.random.PRNGKey(7), **GEN) as srv:
+                futs = [srv.submit(t) for t in ("a", "b", "c", "a")]
+                runs.append([f.result(timeout=300) for f in futs])
+        assert runs[0] == runs[1]
