@@ -23,8 +23,8 @@ device batch, bounded by a maximum wait.
   for the batch it actually has instead of a full ``max_batch`` decode.
   The system self-adapts: under load the queue fills batches to
   ``max_batch`` (same peak throughput), at low load batches land in the
-  small buckets (measured on v5e: ~2.5x lower p50 at 0.3x capacity —
-  benchmarks/serving_load.py).
+  small buckets (see benchmarks/serving_load.py for the measured
+  p50-vs-load sweep).
 - with ``render=True`` the batch renders through the pipeline's host
   pool (threads or spawn processes) and futures resolve to
   ``(caption_text, PIL image)``; otherwise to the caption text.
@@ -69,10 +69,14 @@ class DynamicBatcher:
                 low load ≈ this + one decode).
             buckets: padded-call sizes. ``None`` = ``[max_batch]`` (one
                 executable; every call padded to max_batch).
-                ``"auto"`` = a /4 ladder down from ``max_batch`` with a
-                floor of 16 (e.g. 256 -> [16, 64, 256]): each dispatch
-                pads to the smallest bucket that fits, so low-load
-                batches run a proportionally cheaper decode. A sequence
+                ``"auto"`` = a halving ladder down from ``max_batch``
+                with a floor of 16 (e.g. 256 -> [16, 32, 64, 128, 256]):
+                each dispatch pads to the smallest bucket that fits, so
+                low-load batches run a proportionally cheaper decode.
+                The steady state self-selects — with call time
+                ``t(b) ~ a + c*b``, the server settles in the smallest
+                bucket whose capacity covers the arrivals accumulating
+                during one call. A sequence
                 of ints gives the ladder explicitly (``max_batch`` is
                 appended if missing). Each bucket is a separate compiled
                 executable — call :meth:`warmup` at startup to move the
@@ -94,7 +98,7 @@ class DynamicBatcher:
         elif buckets == "auto":
             ladder, b = {self.max_batch}, self.max_batch
             while b > 16:
-                b = max(16, b // 4)
+                b = max(16, b // 2)
                 ladder.add(b)
             self.buckets = tuple(sorted(ladder))
         else:

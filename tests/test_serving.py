@@ -173,7 +173,7 @@ class TestBuckets:
         assert srv.buckets == (256,)
         srv.close()
         srv = DynamicBatcher(pipe, max_batch=256, buckets="auto", **GEN)
-        assert srv.buckets == (16, 64, 256)
+        assert srv.buckets == (16, 32, 64, 128, 256)
         srv.close()
         srv = DynamicBatcher(pipe, max_batch=6, buckets="auto", **GEN)
         assert srv.buckets == (6,)
