@@ -237,8 +237,32 @@ def bench_train(iters=20, bs=256, compute_dtype=None, tuned=False):
         state, m = step(state, batch, k)
         return m["loss"]
 
-    return _best_window(
+    ex_s = _best_window(
         run, [jax.random.fold_in(key, i) for i in range(iters)], bs)
+    flops = _step_flops(step, state, batch, key)
+    mfu = None if flops is None else flops * (ex_s / bs) / V5E_PEAK_FLOPS
+    return ex_s, mfu
+
+
+# v5e per-chip peak: 197 TFLOP/s bf16 (MXU). MFU below is reported
+# against this bf16 peak for every dtype — "fraction of the chip's
+# matmul roofline" — so f32 legs read honestly low rather than being
+# flattered by a smaller denominator.
+V5E_PEAK_FLOPS = 197e12
+
+
+def _step_flops(step, *args):
+    """XLA's estimated FLOPs for one compiled step (None if the backend
+    doesn't expose cost analysis). ``step`` must already be compiled for
+    these arg shapes, so this only fetches the cached executable."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def bench_serving_load(duration_s=12.0):
@@ -375,12 +399,14 @@ def main():
         "word_v8192",
         lambda: bench_generation(VOCAB_SMALL, iters=6)[0])
     char_capt_s = guard("char", bench_char)
-    train_ex_s = guard("train", bench_train)
-    train_bf16_ex_s = guard(
-        "train_bf16", lambda: bench_train(compute_dtype="bfloat16"))
-    train_tuned_ex_s = guard(
+    train_ex_s, _ = guard("train", bench_train, default=(None, None))
+    train_bf16_ex_s, _ = guard(
+        "train_bf16", lambda: bench_train(compute_dtype="bfloat16"),
+        default=(None, None))
+    train_tuned_ex_s, train_tuned_mfu = guard(
         "train_tuned",
-        lambda: bench_train(compute_dtype="bfloat16", tuned=True))
+        lambda: bench_train(compute_dtype="bfloat16", tuned=True),
+        default=(None, None))
     e2e_capt_s = guard("e2e_captions",
                        lambda: bench_end_to_end(render=False)[0])
     e2e = guard("e2e_memes", lambda: bench_end_to_end(render=True))
@@ -409,6 +435,9 @@ def main():
         "train_tuned_examples_s": rnd(train_tuned_ex_s),
         "train_tuned_tokens_s": rnd(
             None if train_tuned_ex_s is None else train_tuned_ex_s * 33),
+        # XLA-estimated step FLOPs x steps/s over the v5e bf16 matmul
+        # peak (197 TFLOP/s); None when the backend hides cost analysis
+        "train_tuned_mfu": rnd(train_tuned_mfu, 4),
         "e2e_captions_s": rnd(e2e_capt_s),
         "e2e_memes_s": rnd(e2e_memes_s),
         "encode_300_templates_s": rnd(t_encode, 2),
