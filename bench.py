@@ -239,7 +239,10 @@ def bench_train(iters=20, bs=256, compute_dtype=None, tuned=False):
 
     ex_s = _best_window(
         run, [jax.random.fold_in(key, i) for i in range(iters)], bs)
-    flops = _step_flops(step, state, batch, key)
+    # MFU only for the reported (tuned) leg: lower().compile() does NOT
+    # reuse the jit's in-memory executable, so this can cost one extra
+    # XLA compile (softened by the persistent cache where enabled)
+    flops = _step_flops(step, state, batch, key) if tuned else None
     mfu = None if flops is None else flops * (ex_s / bs) / V5E_PEAK_FLOPS
     return ex_s, mfu
 
@@ -252,9 +255,9 @@ V5E_PEAK_FLOPS = 197e12
 
 
 def _step_flops(step, *args):
-    """XLA's estimated FLOPs for one compiled step (None if the backend
-    doesn't expose cost analysis). ``step`` must already be compiled for
-    these arg shapes, so this only fetches the cached executable."""
+    """XLA's estimated FLOPs for one step (None if the backend doesn't
+    expose cost analysis). May pay a fresh lowering+compile — jit's
+    in-memory executable cache is separate from lower().compile()."""
     try:
         ca = step.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):

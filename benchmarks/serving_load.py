@@ -179,11 +179,16 @@ def _main():
         max_batch, duration, gen = 16, 2.0, dict(
             max_len=8, beam_size=3, top_k=16)
         n_templates = 8
+        # auto floors at 16 = max_batch here, which would degenerate to
+        # ONE bucket — pin a 2-bucket ladder so the smoke run actually
+        # exercises multi-bucket dispatch
+        buckets = [4, 16]
     else:
         vocab_size, hid, layers, heads, pf = 29184, 512, 6, 8, 2048
         max_batch, duration, gen = 256, 12.0, dict(
             max_len=32, beam_size=5, top_k=64, sampler="pallas")
         n_templates = 300
+        buckets = "auto"
 
     model = CaptioningTransformer(
         num_tokens=vocab_size, hid_dim=hid, n_layers=layers,
@@ -198,7 +203,7 @@ def _main():
 
     results, capacity = measure_serving_load(
         pipe, ids, max_batch=max_batch, duration_s=duration,
-        buckets="auto", **gen)
+        buckets=buckets, **gen)
     pipe.close()
     print(json.dumps({"capacity_rps": round(capacity, 1),
                       "rates": results}, indent=2))

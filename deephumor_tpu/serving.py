@@ -102,6 +102,10 @@ class DynamicBatcher:
                 ladder.add(b)
             self.buckets = tuple(sorted(ladder))
         else:
+            if isinstance(buckets, str):  # "128" would iterate per-char
+                raise ValueError(
+                    f"buckets={buckets!r}: expected None, 'auto', or a "
+                    "sequence of ints")
             ladder = {int(b) for b in buckets}
             if not ladder or min(ladder) < 1:
                 raise ValueError(f"invalid buckets: {buckets!r}")
@@ -132,10 +136,18 @@ class DynamicBatcher:
     # -- client API ----------------------------------------------------------
     def submit(self, template_id):
         """Enqueue one request; returns a Future resolving to the
-        caption text (or ``(text, image)`` when rendering)."""
+        caption text (or ``(text, image)`` when rendering).
+
+        Unknown template ids fail their OWN future here instead of
+        poisoning the whole coalesced batch they would land in."""
         if self._closed.is_set():
             raise RuntimeError("DynamicBatcher is closed")
         fut = Future()
+        if template_id not in self.pipeline._row or (
+                self.render and template_id not in self.pipeline._images):
+            fut.set_exception(KeyError(
+                f"unknown template {template_id!r}"))
+            return fut
         self._queue.put((template_id, fut))
         return fut
 
@@ -151,6 +163,10 @@ class DynamicBatcher:
         each (smallest first), so no live request ever waits on a
         compile. Uses ``template_id`` or any registered template."""
         if template_id is None:
+            if not self.pipeline._row:
+                raise RuntimeError(
+                    "warmup() needs at least one registered template "
+                    "(pipeline.add_templates)")
             template_id = next(iter(self.pipeline._row))
         for b in self.buckets:
             self.pipeline.generate_captions(

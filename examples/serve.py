@@ -143,7 +143,11 @@ def main(argv=None, ready_event=None):
     elif args.buckets == "auto":
         buckets = "auto"
     else:
-        buckets = [int(x) for x in args.buckets.split(",")]
+        try:
+            buckets = [int(x) for x in args.buckets.split(",")]
+        except ValueError:
+            ap.error(f"--buckets {args.buckets!r}: expected 'auto', "
+                     "'none', or comma-separated ints like '32,128'")
 
     if args.synthetic:
         pipe, gen = build_synthetic()

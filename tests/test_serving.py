@@ -78,14 +78,16 @@ def test_render_mode(pipe):
 
 
 def test_failed_batch_does_not_kill_server(pipe):
-    """An unknown template fails its batch's futures with the exception;
-    the collector keeps serving later batches."""
+    """An unknown template fails its OWN future at submit() (it never
+    joins a batch); the collector keeps serving."""
     with DynamicBatcher(pipe, max_batch=4, max_wait_ms=30, **GEN) as srv:
         bad = srv.submit("nope")
-        with pytest.raises(Exception):
-            bad.result(timeout=120)
         good = srv.submit("a")
+        with pytest.raises(KeyError):
+            bad.result(timeout=120)
+        # the good request concurrent with the bad one is unaffected
         assert isinstance(good.result(timeout=120), str)
+        assert srv.requests_served == 1  # bad never dispatched
 
 
 def test_close_rejects_and_drains(pipe):
@@ -191,6 +193,26 @@ class TestBuckets:
             DynamicBatcher(pipe, max_batch=4, buckets=[], **GEN)
         with pytest.raises(ValueError):
             DynamicBatcher(pipe, max_batch=4, buckets=[0, 2], **GEN)
+        with pytest.raises(ValueError, match="sequence of ints"):
+            # a numeric string would otherwise iterate per-character
+            DynamicBatcher(pipe, max_batch=256, buckets="128", **GEN)
+
+    def test_warmup_without_templates_raises(self):
+        from deephumor_tpu.data import Vocab
+        from deephumor_tpu.models import CaptioningTransformerBase
+
+        vocab = Vocab(["x"])
+        model = CaptioningTransformerBase(
+            num_tokens=len(vocab), hid_dim=16, n_layers=1, n_heads=4,
+            pf_dim=24, max_len=16)
+        empty = MemeGenerationPipeline(
+            model, model.init(jax.random.PRNGKey(0)), vocab)
+        srv = DynamicBatcher(empty, max_batch=4, **GEN)
+        try:
+            with pytest.raises(RuntimeError, match="registered template"):
+                srv.warmup()
+        finally:
+            srv.close()
 
     def test_dispatch_pads_to_smallest_fitting_bucket(self, pipe):
         with DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
