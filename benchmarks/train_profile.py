@@ -7,7 +7,7 @@ pad-to-common-length quirk. This script produces the op-family breakdown
 that justifies (or kills) the fused linear+cross-entropy lever: a loss
 that never materializes the [N, V] logits in HBM.
 
-Run: python -m benchmarks.train_profile [outdir] [bf16|f32] [bs]
+Run: python -m benchmarks.train_profile [outdir] [bf16|f32|tuned] [bs]
 """
 
 import os
@@ -28,7 +28,9 @@ N_TEMPLATES = 300
 def main():
     args = sys.argv[1:]
     outdir = args[0] if args else "/tmp/train_profile"
-    cdt = None if (len(args) > 1 and args[1] == "f32") else "bfloat16"
+    mode = args[1] if len(args) > 1 else "bf16"
+    cdt = None if mode == "f32" else "bfloat16"
+    tuned = mode == "tuned"  # bf16 + rectangular + hardware-RNG dropout
     bs = int(args[2]) if len(args) > 2 else 256
     os.makedirs(outdir, exist_ok=True)
 
@@ -40,7 +42,8 @@ def main():
         pf_dim=PF, max_len=50)
     trainer = Trainer(model, experiment_title="profile",
                       log_dir="/tmp/dh_profile_logs", donate=False,
-                      compute_dtype=cdt)
+                      compute_dtype=cdt, rectangular=tuned,
+                      rng_impl="rbg" if tuned else None)
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     trainer._trunk_cache = jnp.asarray(
@@ -65,7 +68,7 @@ def main():
         state, m = step(state, batch, jax.random.fold_in(key, i))
     np.asarray(m["loss"])
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"dtype={cdt or 'f32'} bs={bs}: {dt*1e3:.2f} ms/step "
+    print(f"mode={mode} bs={bs}: {dt*1e3:.2f} ms/step "
           f"-> {bs/dt:.0f} examples/s")
 
     with jax.profiler.trace(outdir):
