@@ -25,6 +25,9 @@ Run standalone::
 
     python -m benchmarks.serving_load          # real TPU
     DH_LOAD_SMOKE=1 python -m benchmarks.serving_load   # tiny CPU smoke
+    # composed MULTI-CHIP serving stack (pipeline mesh + dp_generate +
+    # batcher) under load — on the virtual 8-device CPU mesh:
+    DH_LOAD_SMOKE=1 DH_LOAD_MESH=1 python -m benchmarks.serving_load
 
 or from bench.py via :func:`measure_serving_load`.
 """
@@ -84,6 +87,7 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
     lat_ms = [None] * arrivals.size
     done = threading.Event()
     remaining = [arrivals.size]
+    errors = []  # first recorded failure re-raised after the drain
     lock = threading.Lock()
     size0 = len(batcher.batch_sizes)
     pad0 = len(getattr(batcher, "pad_sizes", []))
@@ -92,12 +96,21 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
 
     def _mk_cb(idx, t_sched):
         def cb(fut):
-            fut.result()  # propagate batch failures loudly
-            lat_ms[idx] = (time.perf_counter() - t_sched) * 1e3
-            with lock:
-                remaining[0] -= 1
-                if remaining[0] == 0:
-                    done.set()
+            # an exception raised INSIDE an add_done_callback is swallowed
+            # by concurrent.futures — record it and keep the remaining
+            # count honest, or a single failed request would stall the
+            # drain into an opaque TimeoutError minutes later
+            try:
+                fut.result()
+                lat_ms[idx] = (time.perf_counter() - t_sched) * 1e3
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                with lock:
+                    errors.append(e)
+            finally:
+                with lock:
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        done.set()
         return cb
 
     for i, a in enumerate(arrivals):
@@ -112,6 +125,10 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
         raise TimeoutError(
             f"load run did not drain: {remaining[0]} of "
             f"{arrivals.size} requests outstanding")
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)} of {arrivals.size} requests failed during the "
+            "load run") from errors[0]
     wall = time.perf_counter() - t0
 
     out = {
@@ -181,8 +198,10 @@ def _main():
         n_templates = 8
         # auto floors at 16 = max_batch here, which would degenerate to
         # ONE bucket — pin a 2-bucket ladder so the smoke run actually
-        # exercises multi-bucket dispatch
-        buckets = [4, 16]
+        # exercises multi-bucket dispatch (mesh mode: ladder steps must
+        # be multiples of the 8-device data axis)
+        buckets = ([8, 16] if os.environ.get("DH_LOAD_MESH") == "1"
+                   else [4, 16])
     else:
         vocab_size, hid, layers, heads, pf = 29184, 512, 6, 8, 2048
         max_batch, duration, gen = 256, 12.0, dict(
@@ -195,7 +214,17 @@ def _main():
         n_heads=heads, pf_dim=pf, max_len=max(50, gen["max_len"] + 2))
     params = model.init(jax.random.PRNGKey(0))
     vocab = Vocab([f"w{i}" for i in range(vocab_size - 6)])
-    pipe = MemeGenerationPipeline(model, params, vocab)
+    mesh = None
+    if os.environ.get("DH_LOAD_MESH") == "1":
+        # the composed multi-chip serving stack: feature store
+        # row-sharded, decode N-way DP via dp_generate, buckets
+        # constrained to the data axis
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        gen = dict(gen, attn="xla") if SMOKE else gen
+        print(f"mesh: {dict(mesh.shape)}")
+    pipe = MemeGenerationPipeline(model, params, vocab, mesh=mesh)
     rng = np.random.default_rng(0)
     ids = [f"tmpl{i}" for i in range(n_templates)]
     pipe.add_templates(

@@ -70,6 +70,43 @@ def replicate(tree, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=64)
+def _dp_generate_fn(model, mesh, enc_is_tuple, n_enc, sharded_names,
+                    static_items):
+    """Builds (once per distinct config) the jitted shard_map decode.
+
+    A fresh closure per call would RE-TRACE the whole beam-search loop on
+    every serving request — models are frozen dataclasses and meshes hash,
+    so the transformed callable is cached on (model, mesh, kwarg config)
+    and jit's executable cache then keys on shapes."""
+    from jax.sharding import PartitionSpec
+
+    static_kw = dict(static_items)
+    enc_specs = (
+        tuple(PartitionSpec("data") for _ in range(n_enc))
+        if enc_is_tuple else PartitionSpec("data")
+    )
+
+    def per_shard(params, enc, key, kw):
+        idx = jax.lax.axis_index("data")
+        local_key = jax.random.fold_in(key, idx)
+        return model.generate_from_emb(
+            params, enc, key=local_key, **static_kw, **kw
+        )
+
+    return jax.jit(jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(PartitionSpec(), enc_specs, PartitionSpec(),
+                  {k: PartitionSpec("data") for k in sharded_names}),
+        out_specs=PartitionSpec("data"),
+        check_vma=False,
+    ))
+
+
 def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
     """Data-parallel batched generation over the ``data`` mesh axis.
 
@@ -93,10 +130,6 @@ def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
     Returns:
         the usual generation dict with full-batch (sharded) outputs.
     """
-    from functools import partial
-
-    from jax.sharding import PartitionSpec
-
     if key is None:
         key = jax.random.PRNGKey(0)
     if mesh.shape.get("model", 1) != 1:
@@ -104,10 +137,6 @@ def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
                          "mesh with model=1")
 
     enc_is_tuple = isinstance(enc, tuple)
-    enc_specs = (
-        tuple(PartitionSpec("data") for _ in enc)
-        if enc_is_tuple else PartitionSpec("data")
-    )
 
     # batch-shaped kwargs (e.g. ``caption`` prefixes [bs, L] or
     # ``labels``) must shard with the batch — captured in the closure
@@ -118,23 +147,11 @@ def dp_generate(model, params, enc, mesh, key=None, **generate_kwargs):
         k: v for k, v in generate_kwargs.items()
         if getattr(v, "ndim", 0) >= 1 and v.shape[0] == bs
     }
-    static_kw = {k: v for k, v in generate_kwargs.items()
-                 if k not in sharded_kw}
+    static_items = tuple(sorted(
+        (k, v) for k, v in generate_kwargs.items() if k not in sharded_kw))
 
-    def per_shard(params, enc, key, kw):
-        idx = jax.lax.axis_index("data")
-        local_key = jax.random.fold_in(key, idx)
-        out = model.generate_from_emb(
-            params, enc, key=local_key, **static_kw, **kw
-        )
-        return out
-
-    fn = jax.shard_map(
-        per_shard,
-        mesh=mesh,
-        in_specs=(PartitionSpec(), enc_specs, PartitionSpec(),
-                  {k: PartitionSpec("data") for k in sharded_kw}),
-        out_specs=PartitionSpec("data"),
-        check_vma=False,
-    )
+    fn = _dp_generate_fn(
+        model, mesh, enc_is_tuple,
+        len(enc) if enc_is_tuple else 1,
+        tuple(sorted(sharded_kw)), static_items)
     return fn(params, enc, key, sharded_kw)

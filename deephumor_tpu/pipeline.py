@@ -11,6 +11,19 @@ pipeline is the TPU-native serving design (SURVEY.md §7.7/7.9):
   jitted beam-search engine,
 - text post-processing (seq_to_text / split_caption) and the PIL renderer
   run host-side on a thread pool while the TPU generates the next batch.
+
+Multi-chip serving (``mesh=``): constructed with a pure-data
+``jax.sharding.Mesh``, the SAME pipeline object scales over the chips —
+params are replicated across the mesh, the stacked template feature
+store is row-sharded over the ``data`` axis (each chip holds 1/N of the
+templates), request feature gathers run as one jitted cross-chip gather,
+and the decode loop runs N-way data-parallel through
+:func:`deephumor_tpu.parallel.dp_generate` (the Pallas kernels see local
+shapes; no collectives inside the token loop). Request batches must pad
+to a multiple of the data-axis size — :class:`~deephumor_tpu.serving.
+DynamicBatcher` constrains its bucket ladder accordingly. Greedy decode
+is token-equal to the single-device pipeline (tested on the virtual
+8-device mesh); sampled draws decorrelate per shard by key fold-in.
 """
 
 import os
@@ -87,13 +100,32 @@ class MemeGenerationPipeline:
     """
 
     def __init__(self, model, params, vocab, delimiter=" ",
-                 font_path=None, render_workers=8, render_processes=0):
+                 font_path=None, render_workers=8, render_processes=0,
+                 mesh=None):
         self.model = model
-        self.params = params
         self.vocab = vocab
         self.delimiter = delimiter
         self.font_path = font_path
         self.render_workers = render_workers
+        # mesh: a pure-data jax.sharding.Mesh scales generation over the
+        # chips — params replicated, feature store row-sharded, decode
+        # through parallel.dp_generate (see module docstring)
+        self.mesh = mesh
+        self._data_size = 1
+        if mesh is not None:
+            if mesh.shape.get("model", 1) != 1:
+                raise ValueError(
+                    "pipeline mesh must be pure data-parallel (model=1); "
+                    "got %r — TP weight sharding composes via jit "
+                    "propagation instead (parallel/sharding.py)"
+                    % dict(mesh.shape))
+            self._data_size = int(mesh.shape["data"])
+            from deephumor_tpu.parallel import replicate
+
+            params = replicate(params, mesh)
+        self.params = params
+        self._gather_fn = None  # jitted sharded feature gather (lazy)
+        self._sharded_store = None  # mesh row-sharded store view (lazy)
         # render_processes > 0 renders in a persistent spawn-based
         # process pool instead of threads — FreeType rasterization holds
         # the GIL, so only processes scale rendering across host cores
@@ -190,15 +222,64 @@ class MemeGenerationPipeline:
         self._n_rows += len(ids)
         self._pending.append(enc)
 
-    def _stack_features(self, ids):
+    def _consolidate(self):
         if self._pending:
             trees = self._pending if self._stacked is None else \
                 [self._stacked] + self._pending
             self._stacked = trees[0] if len(trees) == 1 else jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *trees)
             self._pending = []
+            self._sharded_store = None  # rebuilt lazily below
+
+    def _store_view(self):
+        """Device view of the stacked store the gathers read from. With
+        a mesh: rows sharded over the ``data`` axis (each chip holds 1/N
+        of the template features; rows padded up to a multiple of the
+        axis — pad rows are never indexed since ``_row`` indices count
+        real rows only). NamedSharding, not shard_map, so the jitted
+        request gather is free to move rows between chips."""
+        if self.mesh is None:
+            return self._stacked
+        if getattr(self, "_sharded_store", None) is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n = self._data_size
+
+            def shard_rows(x):
+                pad = -x.shape[0] % n
+                if pad:
+                    x = jnp.concatenate(
+                        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+                return jax.device_put(
+                    x, NamedSharding(
+                        self.mesh, P("data", *([None] * (x.ndim - 1)))))
+
+            self._sharded_store = jax.tree.map(shard_rows, self._stacked)
+            self._gather_fn = None  # store structure changed; re-close
+        return self._sharded_store
+
+    def _stack_features(self, ids):
+        self._consolidate()
         idx = jnp.asarray([self._row[tid] for tid in ids], jnp.int32)
-        return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), self._stacked)
+        store = self._store_view()
+        if self.mesh is None:
+            return jax.tree.map(
+                lambda x: jnp.take(x, idx, axis=0), store)
+        # cross-chip gather: store rows live on their home chips; the
+        # request batch comes out data-sharded, ready for dp_generate.
+        # One jitted executable per request-batch shape (= per bucket).
+        if self._gather_fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            out_sh = jax.tree.map(
+                lambda x: NamedSharding(
+                    self.mesh, P("data", *([None] * (x.ndim - 1)))),
+                store)
+            self._gather_fn = jax.jit(
+                lambda s, i: jax.tree.map(
+                    lambda x: jnp.take(x, i, axis=0), s),
+                out_shardings=out_sh)
+        return self._gather_fn(store, idx)
 
     # -- generation ----------------------------------------------------------
     def generate_captions(self, template_ids, key=None, pad_to=None,
@@ -215,12 +296,28 @@ class MemeGenerationPipeline:
             key = jax.random.PRNGKey(0)
         n = len(template_ids)
         ids = list(template_ids)
-        if pad_to is not None and n < pad_to:
-            ids = ids + [ids[-1]] * (pad_to - n)
+        if pad_to is not None:
+            if pad_to % self._data_size:
+                raise ValueError(
+                    f"pad_to={pad_to} must be a multiple of the mesh "
+                    f"data-axis size {self._data_size}")
+            if n < pad_to:
+                ids = ids + [ids[-1]] * (pad_to - n)
+        elif len(ids) % self._data_size:
+            # dp_generate splits the batch evenly over the data axis —
+            # round a ragged request up to the next shardable size
+            ids = ids + [ids[-1]] * (-len(ids) % self._data_size)
         enc = self._stack_features(ids)
-        result = self.model.generate_from_emb(
-            self.params, enc, key=key, **generate_kwargs
-        )
+        if self.mesh is not None:
+            from deephumor_tpu.parallel import dp_generate
+
+            result = dp_generate(
+                self.model, self.params, enc, self.mesh, key=key,
+                **generate_kwargs)
+        else:
+            result = self.model.generate_from_emb(
+                self.params, enc, key=key, **generate_kwargs
+            )
         seqs = np.asarray(result["chosen"])[:n]
         return [
             seq_to_text(seq, self.vocab, delimiter=self.delimiter)

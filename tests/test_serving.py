@@ -241,3 +241,195 @@ class TestBuckets:
                 futs = [srv.submit(t) for t in ("a", "b", "c", "a")]
                 runs.append([f.result(timeout=300) for f in futs])
         assert runs[0] == runs[1]
+
+
+# ---------------------------------------------------------------------------
+# Bucket hysteresis (VERDICT r3 #6)
+# ---------------------------------------------------------------------------
+
+class TestBucketHysteresis:
+    def _srv(self, pipe, **kw):
+        return DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
+                              hysteresis=3, **GEN, **kw)
+
+    def test_floor_rises_instantly_and_drops_damped(self, pipe):
+        srv = self._srv(pipe)
+        try:
+            srv._t_est = {2: 0.01, 8: 0.02}
+            # keep the EWMA under unit-test control: clearing
+            # _last_dispatch_t before each call skips the rate update
+            def choose(n, rate):
+                srv._rate_ewma = rate
+                srv._last_dispatch_t = None
+                return srv._choose_bucket(n)
+
+            assert srv._floor == 2  # starts low: raw policy at low load
+            # overflow -> floor rises immediately
+            assert choose(5, rate=None) == 8
+            assert srv._floor == 8
+            # rate too high for bucket 2 (rate*t(2)=4.0 > 0.9*2): the
+            # floor holds even though each batch would FIT bucket 2
+            for _ in range(6):
+                assert choose(1, rate=400.0) == 8
+            assert srv._floor == 8
+            # sustainable rate (rate*t(2)=0.5 <= 1.8): drop needs
+            # `hysteresis` consecutive qualifying dispatches, not one
+            assert choose(1, rate=50.0) == 8
+            assert choose(1, rate=50.0) == 8
+            assert srv._floor == 8
+            assert choose(1, rate=50.0) == 2
+            assert srv._floor == 2
+        finally:
+            srv.close()
+
+    def test_downshift_streak_resets_on_unsustainable_rate(self, pipe):
+        srv = self._srv(pipe)
+        try:
+            srv._t_est = {2: 0.01, 8: 0.02}
+
+            def choose(n, rate):
+                srv._rate_ewma = rate
+                srv._last_dispatch_t = None
+                return srv._choose_bucket(n)
+
+            choose(5, rate=None)  # floor -> 8
+            choose(1, rate=50.0)
+            choose(1, rate=50.0)
+            choose(1, rate=400.0)  # spike resets the streak
+            assert choose(1, rate=50.0) == 8
+            assert choose(1, rate=50.0) == 8
+            assert choose(1, rate=50.0) == 2
+        finally:
+            srv.close()
+
+    def test_hysteresis_zero_restores_raw_policy(self, pipe):
+        with DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
+                            hysteresis=0, max_wait_ms=200, **GEN) as srv:
+            futs = [srv.submit(t) for t in ("a", "b", "c", "a", "b")]
+            for f in futs:
+                f.result(timeout=300)
+            assert srv.pad_sizes[0] == 8
+            fut = srv.submit("a")
+            fut.result(timeout=300)
+            assert srv.pad_sizes[-1] == 2  # no floor: drops immediately
+
+    def test_warmup_seeds_call_time_estimates(self, pipe):
+        srv = self._srv(pipe)
+        try:
+            assert srv._t_est == {}
+            srv.warmup()
+            assert set(srv._t_est) == {2, 8}
+            assert all(t > 0 for t in srv._t_est.values())
+        finally:
+            srv.close()
+
+
+# ---------------------------------------------------------------------------
+# Mesh-composed serving (VERDICT r3 #1): pipeline + batcher over 8 devices
+# ---------------------------------------------------------------------------
+
+class TestMeshServing:
+    @pytest.fixture(scope="class")
+    def model_params_vocab(self):
+        vocab = Vocab(["when", "you", "ship", "it", "works", "and", "bug"])
+        model = CaptioningTransformerBase(
+            num_tokens=len(vocab), hid_dim=16, n_layers=1, n_heads=4,
+            pf_dim=24, max_len=16, enc_dropout=0.0, dec_dropout=0.0,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        return model, params, vocab
+
+    def _mk_pipe(self, model_params_vocab, mesh=None, n_templates=5):
+        model, params, vocab = model_params_vocab
+        p = MemeGenerationPipeline(model, params, vocab, mesh=mesh)
+        rng = np.random.default_rng(0)
+        images = rng.normal(
+            size=(n_templates, 32, 32, 3)).astype(np.float32)
+        pils = [Image.new("RGB", (80, 60), (40, 80, 120))
+                for _ in range(n_templates)]
+        ids = [f"t{i}" for i in range(n_templates)]
+        p.add_templates(ids, images, pil_images=pils)
+        return p, ids
+
+    def test_greedy_token_equality_vs_single_device(
+            self, model_params_vocab):
+        """The mesh-composed pipeline (row-sharded feature store +
+        dp_generate decode) must produce the SAME captions as the
+        single-device pipeline in greedy mode."""
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        assert mesh.shape["data"] == 8
+        gen = dict(max_len=6, beam_size=2, top_k=5, greedy=True)
+        plain, ids = self._mk_pipe(model_params_vocab)
+        sharded, _ = self._mk_pipe(model_params_vocab, mesh=mesh)
+        req = [ids[i % len(ids)] for i in range(16)]
+        key = jax.random.PRNGKey(3)
+        want = plain.generate_captions(req, key=key, **gen)
+        got = sharded.generate_captions(req, key=key, **gen)
+        assert want == got
+        # ragged request: auto-pads to a shardable size, slices back
+        got7 = sharded.generate_captions(req[:7], key=key, **gen)
+        assert got7 == want[:7]
+
+    def test_mesh_pipeline_rejects_model_axis(self, model_params_vocab):
+        from deephumor_tpu.parallel import make_mesh
+
+        model, params, vocab = model_params_vocab
+        mesh = make_mesh(model=2)
+        with pytest.raises(ValueError, match="pure data-parallel"):
+            MemeGenerationPipeline(model, params, vocab, mesh=mesh)
+
+    def test_feature_store_is_row_sharded(self, model_params_vocab):
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        pipe, ids = self._mk_pipe(model_params_vocab, mesh=mesh)
+        pipe.generate_captions(ids[:8], max_len=4, beam_size=2, top_k=5)
+        store = pipe._store_view()
+        leaves = jax.tree.leaves(store)
+        assert leaves, "empty store"
+        for x in leaves:
+            assert x.shape[0] % 8 == 0  # padded to the data axis
+            names = {n for s in x.sharding.spec if s
+                     for n in ((s,) if isinstance(s, str) else s)}
+            assert "data" in names, f"store leaf not sharded: {x.sharding}"
+
+    def test_batcher_over_mesh_pipeline(self, model_params_vocab):
+        """The full serving stack — DynamicBatcher buckets + sharded
+        feature store + dp_generate — over the 8-virtual-device mesh."""
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        pipe, ids = self._mk_pipe(model_params_vocab, mesh=mesh)
+        with DynamicBatcher(pipe, max_batch=16, buckets="auto",
+                            max_wait_ms=60, **GEN) as srv:
+            assert all(b % 8 == 0 for b in srv.buckets)
+            srv.warmup()
+            futs = [srv.submit(ids[i % len(ids)]) for i in range(21)]
+            texts = [f.result(timeout=600) for f in futs]
+        assert len(texts) == 21
+        assert all(isinstance(t, str) for t in texts)
+        assert all(p % 8 == 0 for p in srv.pad_sizes)
+
+    def test_batcher_rejects_unshardable_buckets(self, model_params_vocab):
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        pipe, _ = self._mk_pipe(model_params_vocab, mesh=mesh)
+        with pytest.raises(ValueError, match="data-axis"):
+            DynamicBatcher(pipe, max_batch=16, buckets=[4], **GEN)
+        with pytest.raises(ValueError, match="data-axis"):
+            DynamicBatcher(pipe, max_batch=12, **GEN)
+
+    def test_mesh_render_path(self, model_params_vocab):
+        """generate_memes composes the mesh decode with host rendering."""
+        from deephumor_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        pipe, ids = self._mk_pipe(model_params_vocab, mesh=mesh)
+        out = pipe.generate_memes(ids[:3], max_len=6, beam_size=2, top_k=5)
+        assert len(out) == 3
+        for tid, text, img in out:
+            assert isinstance(text, str)
+            assert img is not None and img.size == (80, 60)
