@@ -9,7 +9,21 @@ launch latency: the data is ~12 MB/step. This kernel performs the whole
 update in one ``pallas_call``.
 
 Semantics (must match models/sampling.beam_search's body exactly; the
-interpret path below IS that code and the tests pin equality):
+interpret path below IS that code and the tests pin equality).
+
+Equality scope with the dynamic live grid (``live_items`` set, i.e.
+compaction on): the per-step math is identical for every LIVE-PREFIX
+item; all-ended items in the dead tail are handled differently but
+equivalently. The XLA path keeps running the weighted survivor draw
+over a dead item's frozen-score beams (a per-step beam permutation
+that consumes PRNG draws batch-wide but leaves the score multiset and
+every sequence unchanged), while skipped dead-tail blocks here stay
+frozen in their aliased buffers. The final per-item caption draw
+samples over the same frozen scores either way, so outputs are
+DISTRIBUTIONALLY identical — but for a fixed key an early-dead item's
+final ``chosen`` beam can differ between the fused and default
+engines. Draw-for-draw equality is therefore guaranteed (and tested)
+for live items, and for all items when compaction is off.
 
   branch[b,j], cand[b,j] = divmod(surv[b,j], beam)
   e               = ended[b, branch]

@@ -617,3 +617,27 @@ def test_fused_survivor_update_kernel_body_under_tpu_interpreter():
     # passthrough for unvisited blocks (it materializes fresh outputs),
     # so that property is asserted on real hardware instead:
     # scripts/hw_window.sh step 6.
+
+
+def test_force_interpret_detection_pins_jax_internal():
+    """_force_interpret_active reads a PRIVATE jax config internal
+    (jax._src.config.pallas_tpu_interpret_mode_context_manager) and fails
+    open when it moves — a silent JAX-upgrade rename would re-enable
+    _check_fused_width under force_tpu_interpret_mode and break the
+    narrow-d_model interpret-mode tests deep inside a kernel call. Pin
+    the expectation here so a JAX bump fails loudly at the helper
+    (ADVICE r3)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from deephumor_tpu.ops import pallas_attention as pa
+
+    assert pa._force_interpret_active() is False
+    with pltpu.force_tpu_interpret_mode():
+        assert pa._force_interpret_active() is True, (
+            "jax renamed pallas_tpu_interpret_mode_context_manager — "
+            "update _force_interpret_active for this JAX version")
+    assert pa._force_interpret_active() is False
+    # and the consequence the helper protects: width checks are skipped
+    # under forced interpretation (d_model=64 < the 128-lane DMA tile)
+    with pltpu.force_tpu_interpret_mode():
+        pa._check_fused_width(64, "test")  # must not raise

@@ -261,3 +261,58 @@ def test_tp_sharded_generation_equality(batch):
         sp, (jax.device_put(emb, data_sh), jax.device_put(spa, data_sh)),
         max_len=8, beam_size=3, top_k=8, greedy=True, attn="xla")["chosen"]
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(out))
+
+
+def test_sharded_checkpoint_resume(batch, tmp_path):
+    """VERDICT r3 #7: save a DPxTP-sharded train state mid-run, restore
+    it onto (a) the same mesh, (b) a different mesh layout (2x2 over 4
+    devices), and (c) no mesh at all — continued loss trajectories must
+    match the unsharded resume (checkpoints are layout-independent: save
+    gathers to host npz, restore re-places under the caller's mesh)."""
+    model = CaptioningTransformerBase(
+        num_tokens=VOCAB, hid_dim=16, n_layers=1, n_heads=4, pf_dim=24,
+        max_len=16, enc_dropout=0.0, dec_dropout=0.0)
+    trainer = Trainer(model, "t", log_dir=str(tmp_path))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer._build_steps()
+
+    def place(state, mesh):
+        if mesh is None:
+            return state
+        return {
+            "params": jax.tree.map(
+                jax.device_put, state["params"],
+                make_param_shardings(state["params"], mesh)),
+            "opt_state": replicate(state["opt_state"], mesh),
+            "step": state["step"],
+        }
+
+    # run 2 sharded steps on a 4x2 DPxTP mesh, checkpoint mid-run
+    mesh_a = make_mesh(model=2)
+    st = place(state, mesh_a)
+    for i in (1, 2):
+        st, _ = trainer._train_step(
+            st, shard_batch(batch, mesh_a), jax.random.PRNGKey(i))
+    trainer.save_checkpoint(st, str(tmp_path / "ck"))
+    restored = trainer.restore_checkpoint(str(tmp_path / "ck"))
+    assert int(restored["step"]) == 2
+
+    # continue 2 more steps under each layout; trajectories must agree
+    losses = {}
+    for name, mesh in (("same_4x2", mesh_a),
+                       ("diff_2x2", make_mesh(
+                           devices=jax.devices()[:4], model=2)),
+                       ("unsharded", None)):
+        s = place(jax.tree.map(jnp.asarray, restored), mesh)
+        traj = []
+        for i in (3, 4):
+            b = batch if mesh is None else shard_batch(batch, mesh)
+            s, m = trainer._train_step(s, b, jax.random.PRNGKey(i))
+            traj.append(float(m["loss"]))
+        losses[name] = traj
+
+    for name in ("same_4x2", "diff_2x2"):
+        np.testing.assert_allclose(
+            losses[name], losses["unsharded"], rtol=2e-5,
+            err_msg=f"resume trajectory diverged under {name}")
+    trainer.close()

@@ -91,7 +91,39 @@ def _seeded_modules(mapping):
                 sys.modules[name] = prev
 
 
+# sha256 pins for every reference file executed below (ADVICE r3: the
+# reference tree is untrusted public content and exec_module runs with
+# full test privileges — refuse to execute anything that drifted from
+# the audited bytes).
+_REF_SHA256 = {
+    "data/vocab.py":
+        "366549e4c30e9e138b57456dc65958c985a4154d03943810c106c6ed0c265ab2",
+    "data/tokenizers.py":
+        "5a67ec0e4b1f16130cf2c4c18b2fd8ab54f1a7e1dee2dbc8ab46756be39836b6",
+    "data/utils.py":
+        "41a1d2f8198dbf006974b302f5a3d7d2c73cd0397584dad48bb5bf4bb855e39f",
+    "models/beam.py":
+        "dadf1e77a51b5d4ebedf3f87fdc739c581551852f4761ed4743146b36269e94f",
+    "models/rnn_models.py":
+        "873b0b3520c9e9d42d6587288f64792d8646e34877e7436756f23a98637c1c71",
+    "models/transformers.py":
+        "87407fff650616cba40bd0abfd936109227b6580ece3754a0ffc2f035ef9082d",
+    "experiments/metrics.py":
+        "09bb71db347f56e9ce6cbb0b9171a7c18c216e8ab14611ecee1545c552642240",
+    "experiments/inference.py":
+        "ab10a0bfb998db69c5f42d496c7b0c466f005b25850c44ceee71d61410e7e467",
+}
+
+
 def _exec_file(alias, path, deps=None):
+    import hashlib
+
+    rel = path[len(REF) + 1:]
+    want = _REF_SHA256[rel]  # KeyError = unaudited file; add a pin first
+    got = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert got == want, (
+        f"reference file {rel} drifted from its audited pin "
+        f"({got} != {want}); re-audit before executing it in-process")
     spec = importlib.util.spec_from_file_location(alias, path)
     mod = importlib.util.module_from_spec(spec)
     with _seeded_modules(deps or {}):
