@@ -147,7 +147,7 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
 
 def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
                          duration_s=12.0, fractions=(0.3, 0.6, 0.85),
-                         buckets=None, **generate_kwargs):
+                         buckets=None, hysteresis=3, **generate_kwargs):
     """Measures single-batch capacity, then runs the open-loop sweep at
     ``fractions`` of it. Returns (per-rate list, capacity_rps)."""
     import jax
@@ -156,7 +156,7 @@ def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
 
     with DynamicBatcher(pipe, max_batch=max_batch, max_wait_ms=max_wait_ms,
                         key=jax.random.PRNGKey(7), buckets=buckets,
-                        **generate_kwargs) as server:
+                        hysteresis=hysteresis, **generate_kwargs) as server:
         # compile every bucket executable out of the measured path, then
         # warm the full-batch path through the server itself
         server.warmup(template_ids[0])
@@ -229,6 +229,48 @@ def _main():
     ids = [f"tmpl{i}" for i in range(n_templates)]
     pipe.add_templates(
         ids, rng.normal(size=(n_templates, 224, 224, 3)).astype(np.float32))
+
+    if os.environ.get("DH_LOAD_AB") == "1":
+        # same-process hysteresis A/B: one capacity estimate, then at
+        # each fraction run hysteresis=3 and hysteresis=0 back to back —
+        # identical offered rates, tunnel drift largely cancelled
+        from deephumor_tpu.serving import DynamicBatcher
+
+        out = {"arms": {}}
+        servers = {}
+        for name, h, bk in (("hyst3", 3, buckets), ("raw", 0, buckets),
+                            ("padmax", 0, None)):
+            servers[name] = DynamicBatcher(
+                pipe, max_batch=max_batch, max_wait_ms=10.0,
+                key=jax.random.PRNGKey(7), buckets=bk,
+                hysteresis=h, **gen)
+            servers[name].warmup(ids[0])
+            out["arms"][name] = []
+        srv0 = servers["hyst3"]
+        for _ in range(2):  # warm full-batch path
+            futs = [srv0.submit(ids[i % len(ids)])
+                    for i in range(max_batch)]
+            t0 = time.perf_counter()
+            for f in futs:
+                f.result()
+        capacity = max_batch / (time.perf_counter() - t0)
+        out["capacity_rps"] = round(capacity, 1)
+        print(f"capacity: {capacity:.0f} rps", flush=True)
+        for j, frac in enumerate((0.3, 0.6, 0.85)):
+            for name, srv in servers.items():
+                srv.batch_sizes.clear()
+                srv.pad_sizes.clear()
+                r = run_load(srv, ids, rate_rps=capacity * frac,
+                             duration_s=duration, seed=100 + j)
+                r["capacity_fraction"] = frac
+                out["arms"][name].append(r)
+                print(f"{name} @{frac}: p50 {r['latency_ms']['p50']} "
+                      f"p99 {r['latency_ms']['p99']}", flush=True)
+        for srv in servers.values():
+            srv.close()
+        pipe.close()
+        print(json.dumps(out, indent=2))
+        return
 
     results, capacity = measure_serving_load(
         pipe, ids, max_batch=max_batch, duration_s=duration,

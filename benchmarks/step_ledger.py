@@ -18,8 +18,14 @@ import jax.numpy as jnp
 from deephumor_tpu.models import CaptioningTransformer
 from deephumor_tpu.ops.pallas_sampler import fused_topk_gumbel_sample
 
-VOCAB, HID, LAYERS, HEADS, PF = 8192, 512, 6, 8, 2048
-BEAM, MAX_LEN, BATCH, TOP_K = 5, 32, 224, 64
+import os
+
+# defaults = the WORD headline config (bench.py); override via env for
+# the historical small-vocab shape (DH_LEDGER_VOCAB=8192 DH_LEDGER_BATCH=224)
+VOCAB = int(os.environ.get("DH_LEDGER_VOCAB", 29184))
+BATCH = int(os.environ.get("DH_LEDGER_BATCH", 896))
+HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
+BEAM, MAX_LEN, TOP_K = 5, 32, 64
 ROWS = BATCH * BEAM
 
 
@@ -110,7 +116,7 @@ def main():
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     t = amortized(lambda: samp_loop(logits), iters)
-    print(f"pallas sampler [1120, 8192]:         {t*1e3:6.3f} ms")
+    print(f"pallas sampler [{ROWS}, {VOCAB}]:         {t*1e3:6.3f} ms")
 
     # classifier matmul for scale: [1120, 512] x [512, 8192]
     x = jnp.asarray(rng.normal(size=(ROWS, HID)), dt)

@@ -55,6 +55,14 @@ def family(name):
 
 
 def aggregate(logdir, steps, top=40):
+    """Device-lane-only op attribution.
+
+    The raw trace mixes host python lanes, device region events (the
+    ``while``/``jit_fn`` envelopes, which CONTAIN their child ops) and
+    the per-HLO device ops. Summing everything double-counts and buries
+    the device time under host profiler overhead (the first run of this
+    script did exactly that). The per-HLO leaf events live on threads
+    the TPU profiler names "XLA Ops" — keep only those."""
     paths = glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.trace.json.gz"))
     if not paths:
@@ -63,25 +71,45 @@ def aggregate(logdir, steps, top=40):
     path = max(paths, key=os.path.getmtime)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
+    events = data.get("traceEvents", [])
+    op_tids = set()  # (pid, tid) of "XLA Ops" lanes
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "thread_name" and \
+                "XLA Ops" in str(e.get("args", {}).get("name", "")):
+            op_tids.add((e.get("pid"), e.get("tid")))
+    if not op_tids:
+        print("WARNING: no 'XLA Ops' lanes in trace; falling back to "
+              "all X events (attribution will double-count regions)")
     totals, counts, fams = {}, {}, {}
-    for e in data.get("traceEvents", []):
+    for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
+        if op_tids and (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
         name = e.get("name", "?")
+        # while/region envelopes CONTAIN their child op events on the
+        # same lane — summing both double-counts (children here sum to
+        # the module wall; the envelopes alone were ~96% of it again)
+        if name.startswith(("while", "jit_", "body", "condition")):
+            continue
         totals[name] = totals.get(name, 0) + e["dur"]
         counts[name] = counts.get(name, 0) + 1
-    # drop host-side lanes heuristically: device op names from XLA carry
-    # dots/fusion/copy etc.; host python lanes dominate counts otherwise
-    print(f"trace: {path}\n")
+    device_total = sum(totals.values())
+    print(f"trace: {path}")
+    print(f"device op time total: {device_total/1e3:.1f} ms "
+          f"({device_total/steps:.0f} us/step over {steps} steps)\n")
     print(f"{'op':64s} {'total_ms':>9s} {'per_step_us':>12s} {'n':>6s}")
     for name in sorted(totals, key=totals.get, reverse=True)[:top]:
         print(f"{name[:64]:64s} {totals[name]/1e3:9.3f} "
               f"{totals[name]/steps:12.1f} {counts[name]:6d}")
-        fams[family(name)] = fams.get(family(name), 0) + totals[name]
-    print(f"\n-- families (top-{top} ops only) --")
+    for name, t in totals.items():  # families over ALL ops, not top-N
+        fams[family(name)] = fams.get(family(name), 0) + t
+    print("\n-- families (all device ops) --")
     for fam in sorted(fams, key=fams.get, reverse=True):
         print(f"{fam:42s} {fams[fam]/1e3:9.3f} ms "
-              f"({fams[fam]/steps:8.1f} us/step)")
+              f"({fams[fam]/steps:8.1f} us/step, "
+              f"{100*fams[fam]/max(device_total,1):4.1f}%)")
+    return totals, device_total
 
 
 def main():

@@ -129,10 +129,14 @@ class Trainer:
                  log_dir="./logs", learning_rate=1e-3, clip_norm=3.0,
                  log_grad_norm=False, pad_index=0, schedule=None,
                  weight_decay=0.0, phases=("train", "val"), donate=False,
-                 compute_dtype=None, rectangular=False, rng_impl=None):
+                 compute_dtype=None, rectangular=False, rng_impl=None,
+                 log_flush_every=64):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
+        # per-batch scalars are fetched from device in chunks of this many
+        # batches (see run_epoch) — 1 restores synchronous per-step logging
+        self.log_flush_every = max(1, int(log_flush_every))
         self.donate = donate
         self.phases = phases
         self.clip_norm = clip_norm
@@ -374,8 +378,51 @@ class Trainer:
             from deephumor_tpu.parallel import shard_batch
 
         total_loss = total_pp = total_n = 0
+        # per-batch scalars are NEVER fetched synchronously: a blocking
+        # float(loss) per step costs a full host<->device round trip that
+        # stalls the dispatch queue (measured: the per-batch fetch was the
+        # gap between device-only and end-to-end epoch rate). Scalars stay
+        # on device and are fetched in chunks of ``log_flush_every``
+        # batches (writer set) or once at epoch end (writer None); the
+        # same tensorboard points get written, just later.
         deferred = []
-        for batch in dataloader:
+        step0 = int(state["step"]) if (is_train and writer is not None) \
+            else 0
+
+        def _flush():
+            nonlocal total_loss, total_pp, total_n
+            if not deferred:
+                return
+            it0, rows = deferred[0][0], [d[1] for d in deferred]
+            losses = np.asarray(jnp.stack([m["loss"] for m, _ in rows]))
+            pps = np.asarray(jnp.stack([m["perplexity"] for m, _ in rows]))
+            gns = (np.asarray(jnp.stack([m["grad_norm"] for m, _ in rows]))
+                   if is_train and self.log_grad_norm and writer is not None
+                   else None)
+            ns = np.asarray([n for _, n in rows], np.float64)
+            if not np.isfinite(losses).all():
+                bad = int(np.argmax(~np.isfinite(losses)))
+                # failure detection: halt on divergence instead of
+                # training on garbage (the reference has no guard at all,
+                # SURVEY §5); with chunked fetches this fires up to
+                # log_flush_every batches late
+                raise FloatingPointError(
+                    f"non-finite loss {losses[bad]} at step "
+                    f"{it0 + bad} ({phase})")
+            if writer is not None and is_train:
+                for j, (lv, pv) in enumerate(zip(losses, pps)):
+                    writer.add_scalar("train/batch_loss", lv, it0 + j)
+                    writer.add_scalar("train/batch_perplexity", pv, it0 + j)
+                    if gns is not None:
+                        writer.add_scalar("train/grad_norm", gns[j],
+                                          it0 + j)
+            total_loss += float(losses @ ns)
+            total_pp += float(pps @ ns)
+            total_n += int(ns.sum())
+            deferred.clear()
+
+        flush_every = self.log_flush_every if writer is not None else 0
+        for i, batch in enumerate(dataloader):
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             n = (int(np.asarray(batch["row_valid"]).sum())
@@ -383,48 +430,13 @@ class Trainer:
             if is_train:
                 rng, sub = jax.random.split(rng)
                 state, metrics = self._train_step(state, batch, sub)
-                if writer is not None:
-                    it = int(state["step"])
-                    writer.add_scalar("train/batch_loss",
-                                      metrics["loss"], it)
-                    writer.add_scalar("train/batch_perplexity",
-                                      metrics["perplexity"], it)
-                    if self.log_grad_norm:
-                        writer.add_scalar("train/grad_norm",
-                                          metrics["grad_norm"], it)
             else:
                 metrics = self._eval_step(state["params"], batch)
-            if writer is None:
-                # no logging -> no reason to block the device queue on a
-                # per-batch host fetch; keep the scalars on device and
-                # check finiteness once at epoch end (divergence is still
-                # caught, one epoch later at worst)
-                deferred.append((metrics["loss"], metrics["perplexity"], n))
-                continue
-            loss_value = float(metrics["loss"])
-            if not np.isfinite(loss_value):
-                # failure detection: halt on divergence instead of training
-                # on garbage (the reference has no guard at all, SURVEY §5)
-                raise FloatingPointError(
-                    f"non-finite loss {loss_value} at step "
-                    f"{int(state['step'])} ({phase})"
-                )
-            total_loss += loss_value * n
-            total_pp += float(metrics["perplexity"]) * n
-            total_n += n
-
-        if deferred:
-            losses = np.asarray(jnp.stack([d[0] for d in deferred]))
-            pps = np.asarray(jnp.stack([d[1] for d in deferred]))
-            ns = np.asarray([d[2] for d in deferred], np.float64)
-            if not np.isfinite(losses).all():
-                bad = int(np.argmax(~np.isfinite(losses)))
-                raise FloatingPointError(
-                    f"non-finite loss {losses[bad]} at batch {bad} ({phase})"
-                )
-            total_loss += float(losses @ ns)
-            total_pp += float(pps @ ns)
-            total_n += int(ns.sum())
+            deferred.append((step0 + i + (1 if is_train else 0),
+                             (metrics, n)))
+            if flush_every and len(deferred) >= flush_every:
+                _flush()
+        _flush()
 
         epoch_loss = total_loss / max(total_n, 1)
         epoch_pp = total_pp / max(total_n, 1)

@@ -60,7 +60,7 @@ class DynamicBatcher:
 
     def __init__(self, pipeline, max_batch=256, max_wait_ms=10.0,
                  render=False, key=None, buckets=None, hysteresis=3,
-                 rate_margin=0.9, **generate_kwargs):
+                 **generate_kwargs):
         """Args:
             pipeline: a ready :class:`MemeGenerationPipeline` (templates
                 already added).
@@ -85,22 +85,25 @@ class DynamicBatcher:
                 batch-shaped, so a request's caption depends on the
                 bucket its batch landed in; determinism stays per
                 (key, arrival order), exactly as without buckets.
-            hysteresis: bucket DOWN-shift damping (multi-bucket ladders
+            hysteresis: bucket-choice damping (multi-bucket ladders
                 only). Mid-load the raw pick-smallest-fitting policy
                 oscillates: a batch that happens to fit the next bucket
                 down dispatches there, the slower per-item small-bucket
                 call lets backlog build, the next batch overflows back
                 up — measured p99 at 0.6x capacity was WORSE than
-                pad-to-max (docs/SERVING.md). The batcher instead keeps
-                a committed bucket floor: it rises instantly when a
-                batch overflows it, and drops to a smaller bucket only
-                after this many consecutive dispatches in which that
-                bucket could sustain the EWMA arrival rate
-                (``rate * t_est(bucket) <= rate_margin * bucket``,
-                with ``t_est`` per-bucket call-time EWMAs seeded by
-                :meth:`warmup`). ``0`` disables (raw round-2 policy).
-            rate_margin: sustainability safety factor for the floor
-                drop rule above (lower = more conservative).
+                pad-to-max (docs/SERVING.md). With damping on, each
+                dispatch pads to the bucket fitting the EWMA of recent
+                batch sizes (smoothed over ~``hysteresis`` dispatches)
+                instead of this batch's size — mid-load the choice
+                converges to the one steady bucket (matching the
+                measured pad-to-max win there) while low load still
+                settles into small buckets. An individual batch larger
+                than the EWMA bucket always dispatches at its true fit
+                (no queue-building commitment). ``0`` disables (raw
+                round-2 policy). An earlier arrival-rate/call-time
+                floor predictor measured strictly worse than both raw
+                and pad-to-max on hardware (docs/SERVING.md A/B) and
+                was dropped.
             render: resolve futures to ``(text, PIL image)`` via the
                 pipeline's render pool instead of just ``text``.
             key: base PRNG key; each batch uses ``fold_in(key, seq)``
@@ -148,17 +151,9 @@ class DynamicBatcher:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.render = render
         self.generate_kwargs = generate_kwargs
-        # -- bucket hysteresis state (collector thread only) --
+        # -- bucket damping state (collector thread only) --
         self.hysteresis = int(hysteresis) if len(self.buckets) > 1 else 0
-        self.rate_margin = float(rate_margin)
-        self._t_est = {}        # bucket -> EWMA call seconds
-        self._rate_ewma = None  # arrivals/s over recent dispatch windows
-        self._last_dispatch_t = None
-        # committed floor starts LOW: low-load behavior matches the raw
-        # policy from the first dispatch; the floor rises instantly on
-        # overflow and only the downward moves are damped
-        self._floor = self.buckets[0]
-        self._down_streak = 0
+        self._n_ewma = None  # EWMA of dispatch batch sizes
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._queue = queue.SimpleQueue()
         self._seq = itertools.count()
@@ -201,56 +196,22 @@ class DynamicBatcher:
         return self.max_batch  # unreachable: collector caps at max_batch
 
     def _choose_bucket(self, n):
-        """Bucket for an ``n``-request dispatch under the hysteresis
-        policy (collector thread only; see ``hysteresis`` docstring)."""
+        """Bucket for an ``n``-request dispatch under the damped policy
+        (collector thread only; see ``hysteresis`` docstring): pad to
+        the bucket fitting the EWMA of recent batch sizes, never below
+        this batch's true fit."""
         fit = self._bucket_for(n)
         if not self.hysteresis:
             return fit
-        # arrival-rate EWMA over dispatch windows: the n requests of this
-        # batch arrived during the window since the previous dispatch
-        now = time.monotonic()
-        if self._last_dispatch_t is not None:
-            dt = max(now - self._last_dispatch_t, 1e-6)
-            sample = n / dt
-            self._rate_ewma = (sample if self._rate_ewma is None
-                               else 0.7 * self._rate_ewma + 0.3 * sample)
-        self._last_dispatch_t = now
-        if fit > self._floor:
-            # overflow: backlog evidence — rise immediately
-            self._floor = fit
-            self._down_streak = 0
-            return fit
-        # smallest bucket that can sustain the estimated arrival rate:
-        # requests accumulating during one call must fit the bucket with
-        # margin. Buckets without a time estimate can't be judged — stay.
-        cand = self._floor
-        if self._rate_ewma is not None:
-            for b in self.buckets:
-                if b >= self._floor:
-                    break
-                t = self._t_est.get(b)
-                if t is not None and self._rate_ewma * t <= \
-                        self.rate_margin * b:
-                    cand = b
-                    break
-        if cand < self._floor:
-            self._down_streak += 1
-            if self._down_streak >= self.hysteresis:
-                self._floor = cand
-                self._down_streak = 0
-        else:
-            self._down_streak = 0
-        return max(fit, self._floor)
+        alpha = 1.0 / self.hysteresis
+        self._n_ewma = (float(n) if self._n_ewma is None
+                        else (1 - alpha) * self._n_ewma + alpha * n)
+        return max(fit, self._bucket_for(int(round(self._n_ewma))))
 
     def warmup(self, template_id=None):
         """Compiles every bucket's decode executable with one dummy call
         each (smallest first), so no live request ever waits on a
-        compile. Uses ``template_id`` or any registered template.
-
-        With hysteresis enabled, a second (compiled) call per bucket
-        seeds the per-bucket call-time estimates the floor-drop rule
-        needs — without them the batcher stays conservatively at
-        ``max_batch`` padding until each bucket has served once."""
+        compile. Uses ``template_id`` or any registered template."""
         if template_id is None:
             if not self.pipeline._row:
                 raise RuntimeError(
@@ -261,12 +222,6 @@ class DynamicBatcher:
             self.pipeline.generate_captions(
                 [template_id], key=self._key, pad_to=b,
                 **self.generate_kwargs)
-            if self.hysteresis and b not in self._t_est:
-                t0 = time.monotonic()
-                self.pipeline.generate_captions(
-                    [template_id], key=self._key, pad_to=b,
-                    **self.generate_kwargs)
-                self._t_est[b] = time.monotonic() - t0
 
     def close(self, timeout=30.0):
         """Stops the collector after draining pending requests."""
@@ -314,7 +269,6 @@ class DynamicBatcher:
             futs = [f for _, f in batch]
             key = jax.random.fold_in(self._key, next(self._seq))
             pad_to = self._choose_bucket(len(ids))
-            t_call = time.monotonic()
             try:
                 if self.render:
                     out = self.pipeline.generate_memes(
@@ -329,13 +283,6 @@ class DynamicBatcher:
                 for f in futs:
                     f.set_exception(e)
             else:
-                if self.hysteresis:
-                    dt = time.monotonic() - t_call
-                    prev = self._t_est.get(pad_to)
-                    # first observation may include this bucket's compile
-                    # — only seed from warmup() or a prior (compiled) call
-                    self._t_est[pad_to] = (dt if prev is None
-                                           else 0.7 * prev + 0.3 * dt)
                 self.batches_dispatched += 1
                 self.requests_served += len(futs)
                 self.batch_sizes.append(len(futs))

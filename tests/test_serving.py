@@ -252,53 +252,35 @@ class TestBucketHysteresis:
         return DynamicBatcher(pipe, max_batch=8, buckets=[2, 8],
                               hysteresis=3, **GEN, **kw)
 
-    def test_floor_rises_instantly_and_drops_damped(self, pipe):
+    def test_pads_to_recent_average_not_this_batch(self, pipe):
         srv = self._srv(pipe)
         try:
-            srv._t_est = {2: 0.01, 8: 0.02}
-            # keep the EWMA under unit-test control: clearing
-            # _last_dispatch_t before each call skips the rate update
-            def choose(n, rate):
-                srv._rate_ewma = rate
-                srv._last_dispatch_t = None
-                return srv._choose_bucket(n)
-
-            assert srv._floor == 2  # starts low: raw policy at low load
-            # overflow -> floor rises immediately
-            assert choose(5, rate=None) == 8
-            assert srv._floor == 8
-            # rate too high for bucket 2 (rate*t(2)=4.0 > 0.9*2): the
-            # floor holds even though each batch would FIT bucket 2
-            for _ in range(6):
-                assert choose(1, rate=400.0) == 8
-            assert srv._floor == 8
-            # sustainable rate (rate*t(2)=0.5 <= 1.8): drop needs
-            # `hysteresis` consecutive qualifying dispatches, not one
-            assert choose(1, rate=50.0) == 8
-            assert choose(1, rate=50.0) == 8
-            assert srv._floor == 8
-            assert choose(1, rate=50.0) == 2
-            assert srv._floor == 2
+            choose = srv._choose_bucket
+            # steady small batches: settles in the small bucket
+            assert choose(1) == 2
+            assert choose(2) == 2
+            # sustained large batches pull the EWMA up; a later batch
+            # that happens to fit the small bucket still pads to the
+            # EWMA bucket (this is the anti-oscillation behavior)
+            for _ in range(4):
+                assert choose(7) == 8
+            assert srv._n_ewma > 2
+            assert choose(1) == 8
+            # sustained small batches decay the EWMA back down
+            for _ in range(12):
+                choose(1)
+            assert choose(1) == 2
         finally:
             srv.close()
 
-    def test_downshift_streak_resets_on_unsustainable_rate(self, pipe):
+    def test_overflow_always_dispatches_at_true_fit(self, pipe):
         srv = self._srv(pipe)
         try:
-            srv._t_est = {2: 0.01, 8: 0.02}
-
-            def choose(n, rate):
-                srv._rate_ewma = rate
-                srv._last_dispatch_t = None
-                return srv._choose_bucket(n)
-
-            choose(5, rate=None)  # floor -> 8
-            choose(1, rate=50.0)
-            choose(1, rate=50.0)
-            choose(1, rate=400.0)  # spike resets the streak
-            assert choose(1, rate=50.0) == 8
-            assert choose(1, rate=50.0) == 8
-            assert choose(1, rate=50.0) == 2
+            for _ in range(8):
+                srv._choose_bucket(1)  # EWMA pinned low
+            # a burst bigger than the EWMA bucket must dispatch at its
+            # real fit immediately (no queue-building commitment)
+            assert srv._choose_bucket(6) == 8
         finally:
             srv.close()
 
@@ -311,17 +293,7 @@ class TestBucketHysteresis:
             assert srv.pad_sizes[0] == 8
             fut = srv.submit("a")
             fut.result(timeout=300)
-            assert srv.pad_sizes[-1] == 2  # no floor: drops immediately
-
-    def test_warmup_seeds_call_time_estimates(self, pipe):
-        srv = self._srv(pipe)
-        try:
-            assert srv._t_est == {}
-            srv.warmup()
-            assert set(srv._t_est) == {2, 8}
-            assert all(t > 0 for t in srv._t_est.values())
-        finally:
-            srv.close()
+            assert srv.pad_sizes[-1] == 2  # no damping: drops immediately
 
 
 # ---------------------------------------------------------------------------
