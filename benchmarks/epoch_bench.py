@@ -56,24 +56,25 @@ def build_dataset(root, n_captions, n_templates, n_words, seed=0):
             f.write(f"tmpl-{int(rng.integers(0, n_templates))}\t{i}\t{cap}\n")
 
 
-def main():
+def run(n_captions, n_templates=300, n_words=29_000, vocab_n=29184,
+        hid=512, layers=6, heads=8, pf=2048, bs=256, epochs=3,
+        smoke=False, synth_trunk=False):
+    """Builds the on-disk dataset, runs ``epochs`` real epochs through
+    BatchIterator + Trainer.run_epoch, returns the result dict.
+
+    ``synth_trunk=True`` fills the trunk feature cache with random rows
+    instead of running the frozen ResNet over every template — the
+    trunk encode is one-time setup (~2 min for 300 real templates) and
+    irrelevant to the epoch-loop rate this measures; used by bench.py.
+    """
     import jax
+    import jax.numpy as jnp
 
     from deephumor_tpu.data import Vocab, WordPunctTokenizer
     from deephumor_tpu.data.dataloaders import BatchIterator
     from deephumor_tpu.data.datasets import MemeDataset
     from deephumor_tpu.experiments.trainer import Trainer
     from deephumor_tpu.models import CaptioningTransformer
-
-    if SMOKE:
-        n_captions, n_templates, n_words = 600, 4, 500
-        vocab_n, hid, layers, heads, pf = 512, 64, 2, 4, 128
-        bs, epochs = 64, 2
-    else:
-        n_captions = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-        n_templates, n_words = 300, 29_000
-        vocab_n, hid, layers, heads, pf = 29184, 512, 6, 8, 2048
-        bs, epochs = 256, 3
 
     root = tempfile.mkdtemp(prefix="dh_epoch_")
     try:
@@ -93,12 +94,20 @@ def main():
             n_heads=heads, pf_dim=pf, max_len=50)
         trainer = Trainer(model, "epoch_bench", log_dir="/tmp/dh_epoch_logs",
                           donate=False,
-                          compute_dtype=None if SMOKE else "bfloat16",
-                          rectangular=not SMOKE,
-                          rng_impl=None if SMOKE else "rbg")
+                          compute_dtype=None if smoke else "bfloat16",
+                          rectangular=not smoke,
+                          rng_impl=None if smoke else "rbg")
         state = trainer.init_state(jax.random.PRNGKey(0))
         t0 = time.perf_counter()
-        rows_map = trainer.build_trunk_cache(state["params"], ds)
+        if synth_trunk:
+            feat_rng = np.random.default_rng(7)
+            keys = list(ds.images.keys())
+            trainer._trunk_cache = jnp.asarray(feat_rng.normal(
+                size=(len(keys), 7, 7, 2048)).astype(np.float32))
+            trainer._train_step = trainer._eval_step = None
+            rows_map = {k: i for i, k in enumerate(keys)}
+        else:
+            rows_map = trainer.build_trunk_cache(state["params"], ds)
         t_trunk = time.perf_counter() - t0
         t0 = time.perf_counter()
         loader = BatchIterator(ds, bs, max_caption_len=32,
@@ -133,9 +142,19 @@ def main():
                         "materialize": round(t_mat, 2),
                         "synthetic_files": round(t_build, 2)},
         }
-        print(json.dumps(out))
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    if SMOKE:
+        out = run(600, n_templates=4, n_words=500, vocab_n=512, hid=64,
+                  layers=2, heads=4, pf=128, bs=64, epochs=2, smoke=True)
+    else:
+        n_captions = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+        out = run(n_captions)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from benchmarks.char_profile import aggregate_trace
+from benchmarks.word_profile import aggregate as aggregate_trace
 
 VOCAB, HID, LAYERS, HEADS, PF = 29184, 512, 6, 8, 2048
 SEQ = 33
@@ -75,8 +75,15 @@ def main():
         for i in range(ITERS):
             state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
         np.asarray(m["loss"])
-    aggregate_trace(outdir, top=40)
-    print(f"\n(window = {ITERS} steps; divide totals by {ITERS} for per-step)")
+    aggregate_trace(outdir, steps=ITERS, top=40)
+
+    if os.environ.get("DH_DUMP_HLO") == "1":
+        # map hot trace names (fusion.N) back to what they compute
+        txt = step.lower(state, batch, key).compile().as_text()
+        path = os.path.join(outdir, "train_step.hlo.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"compiled HLO -> {path}")
 
 
 if __name__ == "__main__":
