@@ -86,14 +86,17 @@ def main():
     state["anc"] = jnp.broadcast_to(
         jnp.arange(BEAM, dtype=jnp.int32)[None, :, None],
         (BATCH, BEAM, max_positions)).copy()
-    step = model._make_step(p, consts, attn="pallas")
-
     tokens = jnp.asarray(rng.integers(6, VOCAB, size=(ROWS,)), jnp.int32)
 
     iters = 200
 
+    # params/consts must be jit ARGUMENTS, not closure constants: at
+    # V=29184 the captured weights blow past the axon remote-compile
+    # request-body limit (HTTP 413)
     @jax.jit
-    def dec_loop(state, tokens):
+    def dec_loop(p, consts, state, tokens):
+        step = model._make_step(p, consts, attn="pallas")
+
         def body(_, carry):
             st, tok = carry
             logits, st2 = step(st, tok)
@@ -101,7 +104,7 @@ def main():
             return (st2, tok)
         return jax.lax.fori_loop(0, iters, body, (state, tokens))
 
-    t = amortized(lambda: dec_loop(state, tokens), iters)
+    t = amortized(lambda: dec_loop(p, consts, state, tokens), iters)
     print(f"decoder step_fn (6L, cross, pallas): {t*1e3:6.3f} ms")
 
     # ---- sampler alone ----
@@ -125,7 +128,12 @@ def main():
     @jax.jit
     def cls_loop(x, w):
         def body(_, acc):
-            return acc + (x @ w)[0, 0].astype(jnp.float32)
+            # chain the carry into the input so while-loop LICM cannot
+            # hoist the (loop-invariant) matmul, and consume the FULL
+            # product — slicing [0,0] lets XLA rewrite slice(dot) ->
+            # dot(slice) and time a single dot-product instead
+            y = x + acc.astype(dt)
+            return jnp.sum((y @ w).astype(jnp.float32)) * 1e-9
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     t = amortized(lambda: cls_loop(x, wcls), iters)
