@@ -879,9 +879,17 @@ class CaptioningTransformerBase:
                 bounds.append((pe - prefix_len - 1, self._make_step(
                     params, consts, attn, p_eff=pe,
                     return_hidden=ret_hidden, canon_c=canon_cs[k])))
+            # the final phase needs to read only through the last write
+            # position (prefix_len + steps), not the lane-padded p_cache:
+            # at the word config p_cache rounds 34 up to 40 while the
+            # deepest read is 32 — an 8-position (20%) cut of the final
+            # phase's dominant cache stream, measured at the byte wall
+            # (docs/WORD_PERF.md lever 2)
+            p_last = min(p_cache, -(-(prefix_len + steps) // 8) * 8)
             bounds.append(
                 (steps - 1, self._make_step(
-                    params, consts, attn, return_hidden=ret_hidden,
+                    params, consts, attn, p_eff=p_last,
+                    return_hidden=ret_hidden,
                     canon_c=canon_cs[-1])))
             phases = bounds
             if use_compact or any(c is not None for c in canon_cs):

@@ -58,13 +58,12 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, *,
     # kernel is these count passes over [rows, V], and this halves them
     low_bits = 15 if logits_ref.dtype == jnp.bfloat16 else 0
     logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
-    _sample_body(invt_ref, logits, low_bits, ids_ref,
-                 top_k=top_k, num_draws=num_draws, unk_index=unk_index,
-                 vocab=vocab)
+    _sample_body(invt_ref, logits, low_bits, ids_ref, top_k=top_k,
+                 num_draws=num_draws, unk_index=unk_index, vocab=vocab)
 
 
 def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
-                             ids_ref, vals_ref, *, top_k, num_draws,
+                             ids_ref, *, top_k, num_draws,
                              unk_index, vocab):
     """Classifier matmul + sampler in ONE kernel: the [rows, V] logits
     live only in VMEM, never round-tripping HBM between the decoder and
@@ -81,11 +80,11 @@ def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
         preferred_element_type=jnp.float32,
     ) + b_ref[:]
     logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-    _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
+    _sample_body(invt_ref, logits, 15, ids_ref, top_k=top_k,
                  num_draws=num_draws, unk_index=unk_index, vocab=vocab)
 
 
-def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
+def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
                  top_k, num_draws, unk_index, vocab):
     rows = logits.shape[0]
     keys = _order_key(logits)
@@ -144,28 +143,31 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
     packed = jnp.where(keep, packed, _INT_MIN)
 
     # num_draws is small and static: unrolled packed-argmax extraction.
-    # When ``vals_ref`` is None only the IDS leave the kernel — the raw
-    # logit values at the drawn ids are recomputed outside (a [rows, k]
-    # gather): the in-kernel extraction costs a full masked [rows, V]
-    # max pass per draw (~0.6 ms/step at V=29k, where it is dropped;
-    # at small vocab the pass is cheaper than the outside gather, so the
-    # fused-classifier path keeps it).
+    # Packed values are DISTINCT by construction (columns differ), so the
+    # j-th draw is simply the j-th largest packed value: max over
+    # {packed < m_(j-1)} — the strictly-decreasing max chain folds the
+    # without-replacement exclusion into the max pass's compare, so each
+    # draw costs ONE [rows, V] pass instead of three (max + hit-mask +
+    # masked re-write). Only the IDS leave the kernel; the raw logit
+    # values at the drawn ids are recomputed outside (the non-fused path
+    # gathers HBM logits; the fused-classifier path gathers the drawn
+    # ids' classifier columns — both a [rows, k]-scale gather, vs a full
+    # masked [rows, V] max pass per draw in here, ~0.6 ms/step at V=29k).
+    m = None
     for j in range(num_draws):
-        m = jnp.max(packed, axis=1, keepdims=True)
+        if m is None:
+            m = jnp.max(packed, axis=1, keepdims=True)
+        else:
+            m = jnp.max(jnp.where(packed < m, packed, _INT_MIN),
+                        axis=1, keepdims=True)
         idx = jnp.int32(cmask) - (m & jnp.int32(cmask))
         # degenerate row: fewer kept candidates than draws (possible when
         # beam_size == top_k and UNK sat inside the top-K set) — every
-        # packed entry is _INT_MIN and idx would decode to cmask >= vocab.
-        # Emit column 0 instead (matches the pre-packing kernel, which
-        # argmaxed an all-equal row to its first column).
+        # remaining packed entry is _INT_MIN and idx would decode to
+        # cmask >= vocab. Emit column 0 instead (matches the pre-packing
+        # kernel, which argmaxed an all-equal row to its first column).
         idx = jnp.where(m == _INT_MIN, 0, idx)
-        hit = col == idx
         ids_ref[:, j] = idx[:, 0]
-        if vals_ref is not None:
-            val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
-                          keepdims=True)
-            vals_ref[:, j] = val[:, 0]
-        packed = jnp.where(hit, _INT_MIN, packed)
 
 
 def _block_and_pad(x, vocab, block_rows, vmem_budget):
@@ -313,8 +315,11 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
         _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
         unk_index=unk_index, vocab=vocab,
     )
+    xb = x.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    bf = b.astype(jnp.float32)
     with _interpret_ctx(interpret):
-        ids, vals = pl.pallas_call(
+        [ids] = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -330,12 +335,9 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
             out_specs=[
                 pl.BlockSpec((block, out_cols), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
-                jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20,
@@ -345,11 +347,26 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
             jnp.asarray(inv_temperature, jnp.float32).reshape(1),
             # one dtype for the in-kernel dot (mixed f32 x bf16 operands
             # do not lower); the product is rounded to bf16 regardless
-            x.astype(jnp.bfloat16),
-            w.astype(jnp.bfloat16),
-            b.reshape(1, vocab).astype(jnp.float32),
+            xb,
+            wb,
+            bf.reshape(1, vocab),
         )
-    return ids[:rows, :num_draws], vals[:rows, :num_draws]
+    ids = ids[:rows, :num_draws]
+    # drawn ids' raw logits recomputed OUTSIDE the kernel from the drawn
+    # classifier columns: w.T[ids] -> [rows, k, D] einsum against x, the
+    # same bf16 operands / f32 accumulation / bf16 rounding as the
+    # in-kernel dot, so vals match the kernel's logits to <= 1 bf16 ulp
+    # (f32 accumulation-order LSBs under the rounding). Cost is a
+    # [rows, k, D]-scale gather + dot — vs one full masked [rows, V] max
+    # pass PER DRAW when extraction lived in the kernel.
+    wcols = jnp.take(wb.T, ids, axis=0)  # [rows, k, D]
+    vals = jax.lax.dot_general(
+        xb, wcols,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [rows, k]
+    vals = (vals + jnp.take(bf, ids)).astype(jnp.bfloat16)
+    return ids, vals.astype(jnp.float32)
 
 
 def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
