@@ -60,7 +60,9 @@ CHAR_VOCAB = 128
 CHAR_LEN = 128
 CHAR_BEAM = 7
 CHAR_TOPK = 50
-CHAR_BATCH = 256
+CHAR_BATCH = 768  # swept 256-1024 (benchmarks: 661.7/688.5/691.7/685.9
+# capt/s at 256/512/768/1024) — the ~2.3 ms position-independent step
+# floor amortizes into a 512-1024 plateau; 768 is its peak
 
 
 def _finish(x):

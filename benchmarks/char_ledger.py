@@ -35,7 +35,10 @@ if SMOKE:
 from deephumor_tpu.models import CaptioningTransformer
 from deephumor_tpu.models.caption_models import _tile_tree
 
-VOCAB, LEN, BEAM, TOPK, BATCH = 128, 128, 7, 50, 256
+VOCAB, LEN, BEAM, TOPK = 128, 128, 7, 50
+# batch 768 = the round-4 sweep's plateau peak (docs/CHAR_PERF.md);
+# override for historical comparisons with DH_LEDGER_BATCH=256
+BATCH = int(os.environ.get("DH_LEDGER_BATCH", 768))
 HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
 ITERS = 100
 ATTN = "pallas"

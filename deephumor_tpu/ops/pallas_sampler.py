@@ -36,6 +36,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["fused_topk_gumbel_sample", "fused_classifier_topk_gumbel_sample"]
 
+import os
+
+# threshold-search warm start (see _sample_body): measured -10% kernel
+# runtime but ~5x Mosaic compile time at the word headline shape —
+# opt-in only
+_WARMSTART = os.environ.get("DH_SAMPLER_WARMSTART", "0") == "1"
+
 # plain Python literals: jnp scalars at module level would be captured as
 # constants by the kernel tracer (pallas requires literals or ref inputs)
 _NEG_LARGE = -3.0e38
@@ -63,7 +70,7 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, *,
 
 
 def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
-                             ids_ref, *, top_k, num_draws,
+                             ids_ref, vals_ref, *, top_k, num_draws,
                              unk_index, vocab):
     """Classifier matmul + sampler in ONE kernel: the [rows, V] logits
     live only in VMEM, never round-tripping HBM between the decoder and
@@ -80,11 +87,11 @@ def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
         preferred_element_type=jnp.float32,
     ) + b_ref[:]
     logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
-    _sample_body(invt_ref, logits, 15, ids_ref, top_k=top_k,
+    _sample_body(invt_ref, logits, 15, ids_ref, vals_ref, top_k=top_k,
                  num_draws=num_draws, unk_index=unk_index, vocab=vocab)
 
 
-def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
+def _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref=None, *,
                  top_k, num_draws, unk_index, vocab):
     rows = logits.shape[0]
     keys = _order_key(logits)
@@ -95,6 +102,63 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
                          keepdims=True)
     t = jnp.where(cnt_nonneg >= top_k, 0, _INT_MIN).astype(jnp.int32)
 
+    # WARM START (exact): skip the refine bits both bounds agree on.
+    #   L = the K-th largest LANE-CLASS max (m128[l] = max over columns
+    #       l, l+128, l+256, ... — 128-aligned lane slices folded with
+    #       elementwise max, no cross-lane reshape, one read pass). The
+    #       top-K lane-class maxes are K distinct elements >= L, so
+    #       count(keys >= L) >= K  =>  L <= T (the true K-th largest).
+    #   U = row max  =>  T <= U.
+    # Any value in [L, U] shares L/U's common binary prefix, so the
+    # refine may START from t0 = that prefix (bit-OR refinement from a
+    # correct prefix is idempotent over the prefix bits) at the first
+    # differing bit. The per-block trip start is the max over rows —
+    # rows with longer shared prefixes re-derive a few of their own bits
+    # (harmless). Rows where even the SIGN differs (top-K straddles 0.0)
+    # fall back to the cnt_nonneg init and pin the trip start at bit 30.
+    # Costs ~1 extra read pass + a [rows, 128]-wide search; saves
+    # (shared-prefix bits) full count passes. MEASURED (docs/WORD_PERF
+    # lever 3): isolated sampler 4.01 -> 3.61 ms (-10%) at the word
+    # headline shape, but Mosaic compile time for the kernel grows ~5x
+    # (60 s -> 280 s; the full serving program goes 13 -> 45+ min),
+    # which no serving deployment amortizes sanely. Default OFF —
+    # opt in with DH_SAMPLER_WARMSTART=1.
+    if (_WARMSTART and vocab % 128 == 0 and vocab // 128 >= top_k):
+        m128 = keys[:, 0:128]
+        for cidx in range(1, vocab // 128):
+            m128 = jnp.maximum(m128, keys[:, cidx * 128:(cidx + 1) * 128])
+        cnt0 = jnp.sum((m128 >= 0).astype(jnp.int32), axis=1,
+                       keepdims=True)
+        lt = jnp.where(cnt0 >= top_k, 0, _INT_MIN).astype(jnp.int32)
+
+        def refine_m(bit, lt):
+            cand = lt | (jnp.int32(1) << bit)
+            c = jnp.sum((m128 >= cand).astype(jnp.int32), axis=1,
+                        keepdims=True)
+            return jnp.where(c >= top_k, cand, lt)
+
+        lt = jax.lax.fori_loop(0, 31 - low_bits,
+                               lambda i, lt: refine_m(30 - i, lt), lt)
+        u = jnp.max(m128, axis=1, keepdims=True)
+        diff = lt ^ u
+        sign_split = diff < 0
+        smear = diff
+        for s in (1, 2, 4, 8, 16):
+            smear = smear | jax.lax.shift_right_logical(smear, s)
+        t = jnp.where(sign_split, t, u & ~smear)
+        # highest differing bit: smear+1 == 2^(hb+1) exactly (f32-exact
+        # for hb <= 30; sign-split rows pin hb = 30, so the +1 overflow
+        # case never reaches the exponent extract)
+        hb = jnp.where(
+            sign_split, 30,
+            (pltpu.bitcast((smear + 1).astype(jnp.float32), jnp.int32)
+             >> 23) - 128)
+        # block trip start = the EARLIEST iteration any row needs: the
+        # row with the highest differing bit (largest hb) dictates it
+        start = jnp.min(jnp.int32(30) - hb)
+    else:
+        start = jnp.int32(0)
+
     def refine(bit, t):
         cand = t | (jnp.int32(1) << bit)
         cnt = jnp.sum((keys >= cand).astype(jnp.int32), axis=1,
@@ -102,7 +166,7 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
         return jnp.where(cnt >= top_k, cand, t)
 
     # MSB-first (fori_loop counts up, so iterate bit = 30 - i)
-    t = jax.lax.fori_loop(0, 31 - low_bits,
+    t = jax.lax.fori_loop(start, 31 - low_bits,
                           lambda i, t: refine(30 - i, t), t)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, vocab), 1)
@@ -146,13 +210,14 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
     # Packed values are DISTINCT by construction (columns differ), so the
     # j-th draw is simply the j-th largest packed value: max over
     # {packed < m_(j-1)} — the strictly-decreasing max chain folds the
-    # without-replacement exclusion into the max pass's compare, so each
-    # draw costs ONE [rows, V] pass instead of three (max + hit-mask +
-    # masked re-write). Only the IDS leave the kernel; the raw logit
-    # values at the drawn ids are recomputed outside (the non-fused path
-    # gathers HBM logits; the fused-classifier path gathers the drawn
-    # ids' classifier columns — both a [rows, k]-scale gather, vs a full
-    # masked [rows, V] max pass per draw in here, ~0.6 ms/step at V=29k).
+    # without-replacement exclusion into the max pass's compare, so the
+    # per-draw masked re-write of ``packed`` is gone entirely.
+    # ``vals_ref``: the fused-classifier (small-vocab) path extracts the
+    # drawn ids' raw logits in-kernel (the [rows, V] hit+max passes are
+    # cheaper than an outside classifier-column gather at small V —
+    # measured: char 626 vs 655 capt/s with the gather). The standalone
+    # large-vocab path passes vals_ref=None and recomputes vals outside
+    # (at V=29k each in-kernel extraction pass costs ~0.6 ms/step).
     m = None
     for j in range(num_draws):
         if m is None:
@@ -168,6 +233,11 @@ def _sample_body(invt_ref, logits, low_bits, ids_ref, *,
         # kernel, which argmaxed an all-equal row to its first column).
         idx = jnp.where(m == _INT_MIN, 0, idx)
         ids_ref[:, j] = idx[:, 0]
+        if vals_ref is not None:
+            hit = col == idx
+            val = jnp.max(jnp.where(hit, logits, _NEG_LARGE), axis=1,
+                          keepdims=True)
+            vals_ref[:, j] = val[:, 0]
 
 
 def _block_and_pad(x, vocab, block_rows, vmem_budget):
@@ -315,11 +385,8 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
         _kernel_fused_classifier, top_k=top_k, num_draws=num_draws,
         unk_index=unk_index, vocab=vocab,
     )
-    xb = x.astype(jnp.bfloat16)
-    wb = w.astype(jnp.bfloat16)
-    bf = b.astype(jnp.float32)
     with _interpret_ctx(interpret):
-        [ids] = pl.pallas_call(
+        ids, vals = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -335,9 +402,12 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
             out_specs=[
                 pl.BlockSpec((block, out_cols), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
+                jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 2 ** 20,
@@ -347,26 +417,11 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
             jnp.asarray(inv_temperature, jnp.float32).reshape(1),
             # one dtype for the in-kernel dot (mixed f32 x bf16 operands
             # do not lower); the product is rounded to bf16 regardless
-            xb,
-            wb,
-            bf.reshape(1, vocab),
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            b.reshape(1, vocab).astype(jnp.float32),
         )
-    ids = ids[:rows, :num_draws]
-    # drawn ids' raw logits recomputed OUTSIDE the kernel from the drawn
-    # classifier columns: w.T[ids] -> [rows, k, D] einsum against x, the
-    # same bf16 operands / f32 accumulation / bf16 rounding as the
-    # in-kernel dot, so vals match the kernel's logits to <= 1 bf16 ulp
-    # (f32 accumulation-order LSBs under the rounding). Cost is a
-    # [rows, k, D]-scale gather + dot — vs one full masked [rows, V] max
-    # pass PER DRAW when extraction lived in the kernel.
-    wcols = jnp.take(wb.T, ids, axis=0)  # [rows, k, D]
-    vals = jax.lax.dot_general(
-        xb, wcols,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # [rows, k]
-    vals = (vals + jnp.take(bf, ids)).astype(jnp.bfloat16)
-    return ids, vals.astype(jnp.float32)
+    return ids[:rows, :num_draws], vals[:rows, :num_draws]
 
 
 def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,

@@ -151,3 +151,41 @@ def test_live_rows_skips_dead_suffix_standalone():
                                   np.asarray(ids_live)[:8])
     np.testing.assert_array_equal(np.asarray(vals_full)[:8],
                                   np.asarray(vals_live)[:8])
+
+
+def test_warm_start_branch_exact_topk(monkeypatch):
+    """The lane-class-max warm start (opt-in DH_SAMPLER_WARMSTART=1,
+    vocab//128 >= top_k) must keep the draw support EXACTLY the
+    reference top-k-with-ties set, including when the top-k straddles
+    0.0 (sign-split fallback rows) and when ties sit at the threshold.
+
+    The flag is read at trace time; the V=2048 shape below is unique to
+    this test, so the jit cache cannot serve a stale no-warm-start
+    trace."""
+    import deephumor_tpu.ops.pallas_sampler as ps
+
+    monkeypatch.setattr(ps, "_WARMSTART", True)
+    rng = np.random.default_rng(3)
+    V2, K2 = 2048, 8
+
+    def support_ok(row, ids):
+        kth = np.sort(row)[-K2]
+        keep = set(np.flatnonzero((row >= kth) & (np.arange(V2) != 1)))
+        assert set(ids) <= keep, (sorted(set(ids) - keep), kth)
+
+    # (a) generic: all-positive top-k (long shared prefix)
+    a = rng.normal(size=(8, V2)).astype(np.float32) + 10.0
+    # (b) sign-split: top-k straddles zero per row
+    b = rng.normal(size=(8, V2)).astype(np.float32) * 1e-3
+    # (c) ties at the threshold
+    c = rng.normal(size=(8, V2)).astype(np.float32)
+    c[:, 100:120] = 5.0  # 20 tied values with top_k=8: all 20 eligible
+    for mat in (a, b, c):
+        ids, vals = fused_topk_gumbel_sample(
+            jnp.asarray(mat), 11, 1.0, top_k=K2, num_draws=4,
+            interpret=True)
+        ids = np.asarray(ids)
+        for r in range(mat.shape[0]):
+            support_ok(mat[r], ids[r])
+            # distinct draws (without replacement)
+            assert len(set(ids[r])) == 4
