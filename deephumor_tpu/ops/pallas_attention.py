@@ -1108,13 +1108,63 @@ def _kernel_cross(q_ref, k_ref, v_ref, bias_ref, out_ref, *,
             out_ref.dtype)
 
 
+def _kernel_cross_packed(q_ref, k_ref, v_ref, bias_ref, maskc_ref,
+                         out_ref, *, n_heads, scale, ng):
+    # Packed variant of _kernel_cross (WORD_PERF lever #5): the batched
+    # per-item dots are [H*r, D] x [D, T] stubs whose 40x49 outputs fill
+    # ~12% of an MXU tile — the kernel measures ~20% of its byte floor
+    # (benchmarks/cross_sweep.py). Here ``ng`` items fuse into ONE
+    # block-diagonal dot pair per subgroup: rows = ng*H*r, cols = ng*T
+    # (T padded to the 8-sublane tile so the in-kernel (item, T) merge is
+    # tile-aligned — the same merge class the native4d kernel lowers).
+    # Cross-item energies and the T padding are masked via an ADDITIVE
+    # -1e30 constant mask streamed once (a grid-constant block — building
+    # it in-kernel from iotas re-ran 4 integer passes over the energy
+    # shape every grid step); ng*x the MACs of the useful computation,
+    # but the MXU tiles are dense instead of 88% padding.
+    inv_scale = 1.0 / scale
+    bi, r, d_model = q_ref.shape
+    t_pad = k_ref.shape[1]
+    bsub = bi // ng
+    head_dim = d_model // n_heads
+    hr = n_heads * r
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bi, hr, d_model), 2)
+    hrow = jax.lax.broadcasted_iota(jnp.int32, (bi, hr, d_model), 1) // r
+    qt = jnp.concatenate([q_ref[:]] * n_heads, axis=1)
+    q_all = jnp.where(lane // head_dim == hrow, qt, 0).astype(q_ref.dtype)
+
+    # tile-aligned merges: hr and t_pad are both multiples of 8
+    qp = q_all.reshape(bsub, ng * hr, d_model)
+    kp = k_ref[:].reshape(bsub, ng * t_pad, d_model)
+    vp = v_ref[:].reshape(bsub, ng * t_pad, d_model)
+
+    e = jax.lax.dot_general(
+        qp, kp,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv_scale + bias_ref[:] + maskc_ref[:]   # [bsub, ng*hr, ng*t_pad]
+    attn = jax.nn.softmax(e, axis=-1).astype(vp.dtype)
+    out_all = jax.lax.dot_general(
+        attn, vp,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                        # [bsub, ng*hr, D]
+    o = out_all.reshape(bi, hr, d_model)
+    for h in range(n_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        out_ref[:, :, sl] = o[:, h * r:(h + 1) * r, sl].astype(
+            out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "n_heads", "block_items", "interpret"),
+    static_argnames=("groups", "n_heads", "block_items", "interpret",
+                     "pack_items", "t_real"),
 )
 def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
                             block_items=16, interpret=False,
-                            live_items=None):
+                            live_items=None, pack_items=None, t_real=None):
     """Single-query cross-attention of ``G*r`` rows over per-group K/V.
 
     Args:
@@ -1124,6 +1174,13 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
         bias: ``[G, 1, T]`` f32 additive mask (0 or -1e8), or None.
         live_items: optional traced int32 — live-group count (groups past
             it skip compute and input DMA; see ancestry_attention_update).
+        pack_items: fuse this many items into one block-diagonal dot pair
+            (``_kernel_cross_packed``); requires ``ek``/``ev`` padded so
+            T is a multiple of 8 (``precompute_cross_attention(pad_to_
+            tile=True)``) and ``(n_heads * r) % 8 == 0``. ``bias`` may
+            cover the padded T; pad columns are masked in-kernel.
+        t_real: with ``pack_items``, the number of VALID encoder
+            positions (default: all of T).
 
     Returns:
         ``[G*r, D]`` attention output (pre output-projection).
@@ -1133,6 +1190,19 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
     r = rows // g
     head_dim = d_model // n_heads
     scale = float(head_dim) ** 0.5
+
+    if pack_items is not None and pack_items > 1:
+        if t % 8 or (n_heads * r) % 8:
+            raise ValueError(
+                f"pack_items needs tile-aligned merges: T={t} and "
+                f"n_heads*r={n_heads * r} must be multiples of 8 "
+                f"(pad the cross store: precompute_cross_attention("
+                f"pad_to_tile=True))")
+        return _cross_packed(q, ek, ev, bias, g=g, r=r, t=t,
+                             d_model=d_model, n_heads=n_heads, scale=scale,
+                             block_items=block_items, ng=pack_items,
+                             t_real=t if t_real is None else t_real,
+                             interpret=interpret, live_items=live_items)
 
     if bias is None:
         bias = jnp.zeros((g, 1, t), jnp.float32)
@@ -1176,6 +1246,72 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
             out_shape=jax.ShapeDtypeStruct((g, r, d_model), q.dtype),
         )(qg, ek, ev, bias)
     return out.reshape(rows, d_model)
+
+
+def _cross_packed(q, ek, ev, bias, *, g, r, t, d_model, n_heads, scale,
+                  block_items, ng, t_real, interpret, live_items):
+    # dispatch for grouped_cross_attention(pack_items=ng): grid over item
+    # blocks; each block runs block_items/ng fused block-diagonal dots
+    if bias is None:
+        bias_p = jnp.zeros((g // ng, 1, ng * t), jnp.float32)
+    else:
+        # row-major: (G, 1, T) -> (G/ng, 1, ng*T) concatenates each ng
+        # consecutive items' bias rows along the last axis — exactly the
+        # packed energy's column order
+        bias_p = bias.reshape(g // ng, 1, ng * t)
+
+    # grid-constant additive mask: -1e30 on cross-item energies and the
+    # T padding, 0 on each row-item's own valid columns (tiny, built in
+    # XLA once; the constant index map fetches it a single time)
+    hr = n_heads * r
+    row_item = jnp.arange(ng * hr, dtype=jnp.int32)[:, None] // hr
+    col = jnp.arange(ng * t, dtype=jnp.int32)[None, :]
+    ok = jnp.logical_and(row_item == col // t, col % t < t_real)
+    maskc = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None]
+
+    bi = _pick_block_items(block_items, g, r)
+    while bi % ng and bi < g:       # block must hold whole subgroups
+        bi = _pick_block_items(bi + 1, g, r)
+    if bi % ng:
+        raise ValueError(f"no block size holds pack_items={ng} whole "
+                         f"subgroups at G={g}, r={r}")
+    n_blocks = g // bi
+    if live_items is None:
+        grid = (n_blocks,)
+    else:
+        nlive = jnp.clip(
+            (jnp.asarray(live_items, jnp.int32) + bi - 1) // bi,
+            1, n_blocks)
+        grid = (nlive,)
+
+    qg = q.reshape(g, r, d_model)
+    kernel = functools.partial(_kernel_cross_packed, n_heads=n_heads,
+                               scale=scale, ng=ng)
+    if interpret:
+        ctx = pltpu.force_tpu_interpret_mode()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bi, r, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi, t, d_model), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bi // ng, 1, ng * t), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ng * hr, ng * t), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bi, r, d_model), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((g, r, d_model), q.dtype),
+        )(qg, ek, ev, bias_p, maskc)
+    return out.reshape(g * r, d_model)
 
 
 def _kernel_native4d_flash(pos_ref, q_ref, k_ref, v_ref, knew_ref,
