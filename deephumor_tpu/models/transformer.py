@@ -470,9 +470,23 @@ def init_cache(params, bs, max_positions, dtype=jnp.float32):
     ]
 
 
-def precompute_cross_attention(params, enc_out):
+def precompute_cross_attention(params, enc_out, pad_to_tile=False):
     """Per-layer cross-attention keys/values over the (fixed) encoder
-    output — computed once per generation instead of per step."""
+    output — computed once per generation instead of per step.
+
+    Args:
+        pad_to_tile: zero-pad the T axis up to a multiple of 8 (the TPU
+            sublane tile) so the packed cross-attention kernel
+            (``grouped_cross_attention(pack_items=...)``) can merge
+            (item, T) tile-aligned. Callers must then pass
+            ``t_real`` = the unpadded T so pad columns are masked.
+    """
+    if pad_to_tile:
+        t = enc_out.shape[-2]
+        t_pad = -(-t // 8) * 8
+        if t_pad != t:
+            pad = [(0, 0)] * (enc_out.ndim - 2) + [(0, t_pad - t), (0, 0)]
+            enc_out = jnp.pad(enc_out, pad)
     cross = []
     for layer in params["layers"]:
         if "enc_attn" not in layer:

@@ -110,6 +110,23 @@ def _pick_block_items(start, n, row_mult):
     return b
 
 
+def _pick_packed_block_items(start, g, r, ng):
+    """Largest block size <= ``start`` that divides ``g``, holds whole
+    ``ng``-item subgroups, and keeps sublane-aligned rows; falls back to
+    the smallest valid multiple of ``ng``.  Enumerates the valid
+    multiples of ``ng`` directly — the round-4 decrement-search
+    re-entered ``_pick_block_items`` (which searches DOWNWARD) and could
+    return the same size forever (ADVICE r4 #1: G=896, r=5,
+    block_items=56, ng=16 hung at trace time)."""
+    cands = [b for b in range(ng, g + 1, ng)
+             if g % b == 0 and (b * r) % 8 == 0]
+    if not cands:
+        raise ValueError(f"no block size holds pack_items={ng} whole "
+                         f"subgroups at G={g}, r={r}")
+    at_most = [b for b in cands if b <= start]
+    return max(at_most) if at_most else min(cands)
+
+
 def ancestry_bias(anc, valid, p, flat=True):
     """Additive selection bias from ancestry + validity (XLA-side, tiny).
 
@@ -1176,11 +1193,13 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
             it skip compute and input DMA; see ancestry_attention_update).
         pack_items: fuse this many items into one block-diagonal dot pair
             (``_kernel_cross_packed``); requires ``ek``/``ev`` padded so
-            T is a multiple of 8 (``precompute_cross_attention(pad_to_
-            tile=True)``) and ``(n_heads * r) % 8 == 0``. ``bias`` may
-            cover the padded T; pad columns are masked in-kernel.
+            T is a multiple of 8 (``precompute_cross_attention(...,
+            pad_to_tile=True)``) and ``(n_heads * r) % 8 == 0``. ``bias``
+            must cover the SAME (padded) T as ``ek``/``ev``.
         t_real: with ``pack_items``, the number of VALID encoder
-            positions (default: all of T).
+            positions — REQUIRED when ``pack_items`` is set (columns in
+            ``[t_real, T)`` are masked in-kernel; without it zero-valued
+            pad K columns would silently receive softmax weight).
 
     Returns:
         ``[G*r, D]`` attention output (pre output-projection).
@@ -1196,12 +1215,17 @@ def grouped_cross_attention(q, ek, ev, bias, *, groups, n_heads,
             raise ValueError(
                 f"pack_items needs tile-aligned merges: T={t} and "
                 f"n_heads*r={n_heads * r} must be multiples of 8 "
-                f"(pad the cross store: precompute_cross_attention("
+                f"(pad the cross store: precompute_cross_attention(..., "
                 f"pad_to_tile=True))")
+        if t_real is None:
+            raise ValueError(
+                "pack_items requires t_real (the count of valid encoder "
+                "positions): tile-padded ek/ev carry zero K columns that "
+                "would silently receive softmax weight if unmasked")
         return _cross_packed(q, ek, ev, bias, g=g, r=r, t=t,
                              d_model=d_model, n_heads=n_heads, scale=scale,
                              block_items=block_items, ng=pack_items,
-                             t_real=t if t_real is None else t_real,
+                             t_real=t_real,
                              interpret=interpret, live_items=live_items)
 
     if bias is None:
@@ -1255,6 +1279,12 @@ def _cross_packed(q, ek, ev, bias, *, g, r, t, d_model, n_heads, scale,
     if bias is None:
         bias_p = jnp.zeros((g // ng, 1, ng * t), jnp.float32)
     else:
+        if bias.shape[-1] != t:
+            raise ValueError(
+                f"pack_items bias must cover the same (padded) T as "
+                f"ek/ev: bias T={bias.shape[-1]} vs ek T={t}. Pad the "
+                f"bias columns (any value — pad columns are re-masked "
+                f"in-kernel via t_real).")
         # row-major: (G, 1, T) -> (G/ng, 1, ng*T) concatenates each ng
         # consecutive items' bias rows along the last axis — exactly the
         # packed energy's column order
@@ -1269,12 +1299,7 @@ def _cross_packed(q, ek, ev, bias, *, g, r, t, d_model, n_heads, scale,
     ok = jnp.logical_and(row_item == col // t, col % t < t_real)
     maskc = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[None]
 
-    bi = _pick_block_items(block_items, g, r)
-    while bi % ng and bi < g:       # block must hold whole subgroups
-        bi = _pick_block_items(bi + 1, g, r)
-    if bi % ng:
-        raise ValueError(f"no block size holds pack_items={ng} whole "
-                         f"subgroups at G={g}, r={r}")
+    bi = _pick_packed_block_items(block_items, g, r, ng)
     n_blocks = g // bi
     if live_items is None:
         grid = (n_blocks,)

@@ -641,3 +641,108 @@ def test_force_interpret_detection_pins_jax_internal():
     # under forced interpretation (d_model=64 < the 128-lane DMA tile)
     with pltpu.force_tpu_interpret_mode():
         pa._check_fused_width(64, "test")  # must not raise
+
+
+class TestPackedCross:
+    """grouped_cross_attention(pack_items=...) — WORD_PERF lever #5.
+
+    Parity reference: the unpacked grouped kernel at the same (unpadded)
+    shape; plus regressions for the round-4 ADVICE findings (block-size
+    search hang, unmasked pad columns, bias shape).
+    """
+
+    G, R, T, HEADS, DM = 8, 5, 12, 8, 64   # n_heads*r = 40 (8-aligned)
+
+    def _inputs(self):
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(
+            rng.normal(size=(self.G * self.R, self.DM)).astype(np.float32))
+        ek = jnp.asarray(
+            rng.normal(size=(self.G, self.T, self.DM)).astype(np.float32))
+        ev = jnp.asarray(
+            rng.normal(size=(self.G, self.T, self.DM)).astype(np.float32))
+        mask = rng.integers(0, 2, size=(self.G, self.T)).astype(bool)
+        mask[:, 0] = False            # keep >=1 valid column per group
+        bias = jnp.where(jnp.asarray(mask)[:, None, :], -1e8, 0.0).astype(
+            jnp.float32)
+        return q, ek, ev, bias
+
+    def test_packed_matches_unpacked(self):
+        from deephumor_tpu.ops.pallas_attention import (
+            grouped_cross_attention)
+
+        q, ek, ev, bias = self._inputs()
+        want = np.asarray(grouped_cross_attention(
+            q, ek, ev, bias, groups=self.G, n_heads=self.HEADS,
+            interpret=True))
+        t_pad = -(-self.T // 8) * 8
+        ekp = jnp.pad(ek, ((0, 0), (0, t_pad - self.T), (0, 0)))
+        evp = jnp.pad(ev, ((0, 0), (0, t_pad - self.T), (0, 0)))
+        biasp = jnp.pad(bias, ((0, 0), (0, 0), (0, t_pad - self.T)))
+        for ng in (2, 4):
+            got = np.asarray(grouped_cross_attention(
+                q, ekp, evp, biasp, groups=self.G, n_heads=self.HEADS,
+                pack_items=ng, t_real=self.T, interpret=True))
+            np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_packed_requires_t_real(self):
+        # ADVICE r4 #2: zero-valued pad K columns silently soak softmax
+        # weight when t_real is omitted — must raise instead.
+        from deephumor_tpu.ops.pallas_attention import (
+            grouped_cross_attention)
+
+        q, ek, ev, bias = self._inputs()
+        ekp = jnp.pad(ek, ((0, 0), (0, 4), (0, 0)))
+        evp = jnp.pad(ev, ((0, 0), (0, 4), (0, 0)))
+        with pytest.raises(ValueError, match="t_real"):
+            grouped_cross_attention(
+                q, ekp, evp, None, groups=self.G, n_heads=self.HEADS,
+                pack_items=2, interpret=True)
+
+    def test_packed_bias_shape_mismatch_raises(self):
+        # ADVICE r4 #4: unpadded bias against padded ek/ev must produce a
+        # clear diagnostic, not a reshape element-count error.
+        from deephumor_tpu.ops.pallas_attention import (
+            grouped_cross_attention)
+
+        q, ek, ev, bias = self._inputs()
+        ekp = jnp.pad(ek, ((0, 0), (0, 4), (0, 0)))
+        evp = jnp.pad(ev, ((0, 0), (0, 4), (0, 0)))
+        with pytest.raises(ValueError, match="padded"):
+            grouped_cross_attention(
+                q, ekp, evp, bias, groups=self.G, n_heads=self.HEADS,
+                pack_items=2, t_real=self.T, interpret=True)
+
+    def test_packed_block_search_terminates(self):
+        # ADVICE r4 #1: the headline shape G=896, r=5, block_items=56,
+        # ng=16 hung the old downward re-search forever. The fixed
+        # search must return a divisor of G that is a multiple of ng
+        # with sublane-aligned rows.
+        from deephumor_tpu.ops.pallas_attention import (
+            _pick_packed_block_items)
+
+        for start, g, r, ng in [(56, 896, 5, 16), (8, 896, 5, 16),
+                                (16, 896, 5, 16), (64, 896, 5, 8),
+                                (4, 8, 5, 2), (100, 96, 5, 8)]:
+            bi = _pick_packed_block_items(start, g, r, ng)
+            assert g % bi == 0 and bi % ng == 0 and (bi * r) % 8 == 0
+        with pytest.raises(ValueError, match="pack_items"):
+            _pick_packed_block_items(8, 6, 5, 4)   # no multiple of 4 | 6
+
+    def test_pad_to_tile_kwarg(self):
+        # ADVICE r4 #3: the documented remediation must exist.
+        from deephumor_tpu.models import transformer as tfm
+
+        rng = jax.random.PRNGKey(0)
+        params = tfm.transformer_decoder_init(
+            rng, num_tokens=32, hid_dim=self.DM, n_layers=1, pf_dim=64,
+            max_len=16)
+        enc = jnp.asarray(np.random.default_rng(3).normal(
+            size=(self.G, self.T, self.DM)).astype(np.float32))
+        cross = tfm.precompute_cross_attention(params, enc,
+                                               pad_to_tile=True)
+        t_pad = -(-self.T // 8) * 8
+        for c in cross:
+            if c is not None:
+                assert c["ek"].shape[1] == t_pad
+                assert c["ev"].shape[1] == t_pad
