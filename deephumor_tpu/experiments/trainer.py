@@ -30,6 +30,8 @@ Documented divergences from reference quirks (SURVEY.md §2.3), all fixes:
 import functools
 import json
 import os
+import queue
+import threading
 import time
 from datetime import datetime
 
@@ -42,6 +44,45 @@ from deephumor_tpu.experiments.metrics import masked_ce_and_perplexity
 from deephumor_tpu.utils.pytree import flatten_tree, unflatten_tree
 
 __all__ = ["Trainer", "make_optimizer", "frozen_mask"]
+
+
+def _prefetch_iter(iterable, prepare, rng, depth):
+    """Bounded producer-thread pipeline for run_epoch (VERDICT r4 #3).
+
+    A daemon thread pulls batches from ``iterable``, runs ``prepare``
+    (numpy bookkeeping + RNG split + device placement) and hands
+    ``(batch, n, sub)`` through a ``depth``-bounded queue, so the next
+    batch's host work and h2d transfer overlap the current step's device
+    compute. The producer owns the RNG chain — splits happen in order,
+    ahead of consumption, so results are bit-identical to the
+    synchronous path. Producer exceptions re-raise at the consuming
+    ``next()``; the thread is a daemon so an abandoned (not fully
+    drained) iterator cannot hang interpreter exit, and the queue bound
+    keeps at most ``depth`` device batches alive.
+    """
+    q = queue.Queue(maxsize=depth)
+    done = object()
+
+    def _produce():
+        r = rng
+        try:
+            for batch in iterable:
+                batch, n, sub, r = prepare(batch, r)
+                q.put((batch, n, sub))
+            q.put(done)
+        except BaseException as e:  # noqa: BLE001 - re-raised on consumer
+            q.put(e)
+
+    t = threading.Thread(target=_produce, daemon=True,
+                         name="dh-epoch-prefetch")
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def frozen_mask(params):
@@ -130,7 +171,7 @@ class Trainer:
                  log_grad_norm=False, pad_index=0, schedule=None,
                  weight_decay=0.0, phases=("train", "val"), donate=False,
                  compute_dtype=None, rectangular=False, rng_impl=None,
-                 log_flush_every=64):
+                 log_flush_every=64, prefetch=2):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
@@ -175,6 +216,14 @@ class Trainer:
             raise ValueError(f"rng_impl must be None|'threefry'|'rbg', "
                              f"got {rng_impl!r}")
         self.rng_impl = None if rng_impl == "threefry" else rng_impl
+        # run_epoch host pipeline depth: a producer thread assembles the
+        # next ``prefetch`` batches (numpy collation, RNG split, device
+        # placement / mesh sharding) while the dispatch thread runs the
+        # step, so per-batch host latency — dominated by the per-dispatch
+        # link round trip on remote-attached TPUs (STATUS r3 §6) — hides
+        # under device compute instead of serializing with it.
+        # 0 = fully synchronous (the r4 behavior).
+        self.prefetch = max(0, int(prefetch))
 
         stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
         self.experiment_name = f"{experiment_title}@{stamp}"
@@ -421,14 +470,36 @@ class Trainer:
             total_n += int(ns.sum())
             deferred.clear()
 
-        flush_every = self.log_flush_every if writer is not None else 0
-        for i, batch in enumerate(dataloader):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
+        def _prepare(batch, prng):
+            """Host leg for one batch: count valid rows on the NUMPY
+            arrays (before they leave the host), split the step RNG, and
+            place the batch on device (sharded over the mesh's data axis
+            when one is given)."""
             n = (int(np.asarray(batch["row_valid"]).sum())
                  if "row_valid" in batch else len(batch["captions"]))
+            sub = None
             if is_train:
-                rng, sub = jax.random.split(rng)
+                prng, sub = jax.random.split(prng)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            else:
+                batch = jax.device_put(batch)
+            return batch, n, sub, prng
+
+        if self.prefetch:
+            batches = _prefetch_iter(dataloader, _prepare, rng,
+                                     self.prefetch)
+        else:
+            def _sync_iter():
+                r = rng
+                for b in dataloader:
+                    b, n, sub, r = _prepare(b, r)
+                    yield b, n, sub
+            batches = _sync_iter()
+
+        flush_every = self.log_flush_every if writer is not None else 0
+        for i, (batch, n, sub) in enumerate(batches):
+            if is_train:
                 state, metrics = self._train_step(state, batch, sub)
             else:
                 metrics = self._eval_step(state["params"], batch)

@@ -606,3 +606,54 @@ class TestFusedCEPerplexity:
         loss, pp = masked_ce_and_perplexity(logits, targets, lengths, 0)
         np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-6)
         np.testing.assert_allclose(float(pp), float(ref_pp), rtol=1e-6)
+
+
+class TestPrefetch:
+    """run_epoch's producer-thread pipeline (VERDICT r4 #3) must be
+    bit-identical to the synchronous path — the producer owns the same
+    RNG chain, split in the same order."""
+
+    def _loader(self):
+        rng = np.random.default_rng(5)
+        batches = []
+        for _ in range(4):
+            caps = rng.integers(6, VOCAB, (4, 7)).astype(np.int32)
+            caps[:, -1] = 3
+            batches.append({
+                "captions": caps,
+                "images": rng.normal(size=(4, 32, 32, 3)).astype(
+                    np.float32),
+                "labels": rng.integers(6, VOCAB, (4, 3)).astype(np.int32),
+            })
+        return batches
+
+    def test_prefetch_matches_sync(self, tiny_model, tmp_path):
+        loader = self._loader()
+        results = {}
+        for depth in (0, 3):
+            trainer = Trainer(tiny_model, f"pf{depth}",
+                              log_dir=str(tmp_path), prefetch=depth)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            state, loss, pp = trainer.run_epoch(
+                state, loader, jax.random.PRNGKey(9), phase="train")
+            results[depth] = (
+                loss, pp,
+                np.asarray(state["params"]["decoder"]["embedding"]
+                           ["table"]).copy())
+            trainer.close()
+        assert results[0][0] == results[3][0]
+        assert results[0][1] == results[3][1]
+        np.testing.assert_array_equal(results[0][2], results[3][2])
+
+    def test_producer_exception_propagates(self, tiny_model, tmp_path):
+        def bad_loader():
+            yield self._loader()[0]
+            raise RuntimeError("loader blew up")
+
+        trainer = Trainer(tiny_model, "pfx", log_dir=str(tmp_path),
+                          prefetch=2)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        with pytest.raises(RuntimeError, match="loader blew up"):
+            trainer.run_epoch(state, bad_loader(), jax.random.PRNGKey(1),
+                              phase="train")
+        trainer.close()
