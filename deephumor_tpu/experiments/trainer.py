@@ -85,6 +85,15 @@ def _prefetch_iter(iterable, prepare, rng, depth):
         yield item
 
 
+def _cast_tree(tree, dt):
+    """Float leaves -> ``dt`` (the decoder compute-dtype copy carried in
+    train state; see the cast-cache note in _build_steps)."""
+    return jax.tree.map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree)
+
+
 def frozen_mask(params):
     """True = trainable. Freezes the ResNet trunk and all BN running stats
     (stats update through the forward pass, not the optimizer)."""
@@ -236,6 +245,7 @@ class Trainer:
         self._tx = None
         self._train_step = None
         self._eval_step = None
+        self._cast_state = None
         self._trunk_cache = None
 
     # -- state -------------------------------------------------------------
@@ -248,11 +258,16 @@ class Trainer:
             self.learning_rate, self.clip_norm, params,
             schedule=self.schedule, weight_decay=self.weight_decay,
         )
-        return {
+        state = {
             "params": params,
             "opt_state": self._tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
+        if self.compute_dtype is not None and "decoder" in params:
+            # derived compute-dtype decoder copy (cast cache); rebuilt by
+            # run_epoch after a restore (checkpoints persist masters only)
+            state["cast"] = _cast_tree(params["decoder"], self.compute_dtype)
+        return state
 
     # -- trunk-feature cache -------------------------------------------------
     def build_trunk_cache(self, params, dataset, batch_size=16):
@@ -376,29 +391,55 @@ class Trainer:
             data = jnp.concatenate([data, data])[:4]
             return jax.random.wrap_key_data(data, impl=rng_impl)
 
+        # cast cache (TRAIN_PERF lever): with a compute dtype, the
+        # forward-time decoder cast re-reads the two f32 [V,512] tables
+        # every step as a standalone chunked pass (684 slice ops/step in
+        # the r4 trace). Instead the state carries a pre-cast decoder
+        # copy: the step differentiates against it directly (grads are
+        # value-identical — the cast seam's backward was already an
+        # upcast of the same bf16 cotangent) and the NEXT copy is cast
+        # from the optimizer output, so XLA fuses the cast into the Adam
+        # update pass that already reads/writes those tables.
+        use_cast_cache = self.compute_dtype is not None
+        cast_dt = self.compute_dtype
+
+        def cast_decoder(params):
+            return _cast_tree(params["decoder"], cast_dt)
+
+        self._cast_state = cast_decoder if use_cast_cache else None
+
         @functools.partial(jax.jit, donate_argnums=donate)
         def train_step(state, batch, rng):
+            params = state["params"]
+            fwd_params = (dict(params, decoder=state["cast"])
+                          if use_cast_cache else params)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (pp, new_enc)), grads = grad_fn(
-                state["params"], batch, wrap_rng(rng), True
+                fwd_params, batch, wrap_rng(rng), True
             )
+            if use_cast_cache:
+                # decoder grads come out in the compute dtype; the
+                # optimizer runs on f32 (same values the cast seam's
+                # backward produced before)
+                grads = jax.tree.map(
+                    lambda g: g.astype(jnp.float32)
+                    if jnp.issubdtype(g.dtype, jnp.floating) else g,
+                    grads)
             grad_norm = optax.global_norm(grads)
-            updates, opt_state = tx.update(
-                grads, state["opt_state"], state["params"]
-            )
+            updates, opt_state = tx.update(grads, state["opt_state"], params)
             # apply optimizer updates on top of the BN-stat-advanced
             # MASTER params (always f32; the forward's decoder copy may
             # have been a bf16 cast and is discarded)
-            master = (dict(state["params"], encoder=new_enc)
-                      if new_enc is not None else state["params"])
+            master = (dict(params, encoder=new_enc)
+                      if new_enc is not None else params)
             params = optax.apply_updates(master, updates)
             metrics = {"loss": loss, "perplexity": pp,
                        "grad_norm": grad_norm}
-            return (
-                {"params": params, "opt_state": opt_state,
-                 "step": state["step"] + 1},
-                metrics,
-            )
+            new_state = {"params": params, "opt_state": opt_state,
+                         "step": state["step"] + 1}
+            if use_cast_cache:
+                new_state["cast"] = cast_decoder(params)
+            return new_state, metrics
 
         @jax.jit
         def eval_step(params, batch):
@@ -421,6 +462,10 @@ class Trainer:
         if self._train_step is None:
             self._build_steps()
         is_train = phase == "train"
+        if is_train and self._cast_state is not None and "cast" not in state:
+            # derived state: rebuilt here after init/restore (checkpoints
+            # persist only master params; the copy is recomputed from them)
+            state = dict(state, cast=self._cast_state(state["params"]))
         writer = self.writers.get(phase)
 
         if mesh is not None:

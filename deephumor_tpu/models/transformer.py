@@ -92,19 +92,20 @@ def mha_init(key, hid_dim, dtype=jnp.float32):
     }
 
 
-def _split_heads(x, n_heads):
-    bs, t, d = x.shape
-    return x.reshape(bs, t, n_heads, d // n_heads).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x):
-    bs, h, t, hd = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(bs, t, h * hd)
-
-
 def mha_apply(params, query, key, value, n_heads, mask=None,
               dropout=0.0, train=False, rng=None):
-    """Multi-head attention.
+    """Multi-head attention, head-layout-native (TRAIN_PERF lever).
+
+    Activations stay ``[bs, T, H, hd]`` — per-head dots are expressed
+    with explicit ``dot_general`` dimension numbers (batch dims
+    ``(bs, H)`` in place) instead of transposing to ``[bs, H, T, hd]``
+    first, and the head merge folds into the output projection (one
+    ``(H, hd)``-contracting dot against the reshaped ``fc_o`` kernel).
+    The round-4 trace measured 72 physical-layout copies/step
+    (~620 MB of pure relayout) from the old split/merge transposes
+    fwd+bwd (docs/TRAIN_PERF.md). Contractions are unchanged
+    dim-for-dim, so results match the transposed form to float
+    associativity.
 
     Args:
         query/key/value: ``[bs, Tq|Tk, D]``.
@@ -112,21 +113,36 @@ def mha_apply(params, query, key, value, n_heads, mask=None,
 
     Returns: ``[bs, Tq, D]``.
     """
-    head_dim = query.shape[-1] // n_heads
+    d_model = query.shape[-1]
+    head_dim = d_model // n_heads
     scale = math.sqrt(head_dim)
 
-    q = _split_heads(L.linear(params["fc_q"], query), n_heads)
-    k = _split_heads(L.linear(params["fc_k"], key), n_heads)
-    v = _split_heads(L.linear(params["fc_v"], value), n_heads)
+    bq, tq = query.shape[0], query.shape[1]
+    tk = key.shape[1]
+    q = L.linear(params["fc_q"], query).reshape(bq, tq, n_heads, head_dim)
+    k = L.linear(params["fc_k"], key).reshape(bq, tk, n_heads, head_dim)
+    v = L.linear(params["fc_v"], value).reshape(bq, tk, n_heads, head_dim)
 
-    energy = jnp.einsum("bhqd,bhkd->bhqk", q, k) / scale
+    # [bs, H, Tq, Tk] — batch (bs, H), contract hd (minor-most on both)
+    energy = jax.lax.dot_general(
+        q, k, dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2)))
+    ) / scale
     if mask is not None:
         energy = jnp.where(mask[:, None, :, :], MASK_FILL, energy)
     attn = jax.nn.softmax(energy, axis=-1)
     if train and dropout > 0.0:
         attn = L.dropout(rng, attn, dropout, train)
-    out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", attn, v))
-    return L.linear(params["fc_o"], out)
+    # [bs, H, Tq, hd] — batch (bs, H), contract Tk
+    out = jax.lax.dot_general(
+        attn, v, dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2)))
+    )
+    # head merge + output projection in one dot: contract (H, hd)
+    # against the fc_o kernel viewed as [H, hd, D]
+    wo = params["fc_o"]["kernel"].reshape(n_heads, head_dim, d_model)
+    proj = jax.lax.dot_general(
+        out, wo, dimension_numbers=(((1, 3), (0, 1)), ((), ()))
+    )
+    return proj + params["fc_o"]["bias"]
 
 
 def pff_init(key, hid_dim, pf_dim, dtype=jnp.float32):

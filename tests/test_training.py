@@ -657,3 +657,51 @@ class TestPrefetch:
             trainer.run_epoch(state, bad_loader(), jax.random.PRNGKey(1),
                               phase="train")
         trainer.close()
+
+
+def test_cast_cache_resume_roundtrip(tmp_path):
+    """The derived bf16 decoder copy is NOT persisted; restore must
+    rebuild it (run_epoch ensure) and the resumed trajectory must match
+    continuing without the save/restore."""
+    from deephumor_tpu.models import CaptioningTransformer
+
+    rng = np.random.default_rng(0)
+    trunk = jnp.asarray(rng.normal(size=(4, 7, 7, 2048)).astype(np.float32))
+
+    def loader():
+        r = np.random.default_rng(3)
+        return [{
+            "captions": r.integers(6, 64, size=(8, 12)).astype(np.int32),
+            "image_rows": r.integers(0, 4, size=(8,)).astype(np.int32),
+        } for _ in range(3)]
+
+    model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                                  n_heads=4, pf_dim=48, max_len=50)
+
+    tr = Trainer(model, "castresume", log_dir=str(tmp_path),
+                 compute_dtype="bfloat16")
+    state = tr.init_state(jax.random.PRNGKey(0))
+    assert "cast" in state
+    tr._trunk_cache = trunk
+    state, _, _ = tr.run_epoch(state, loader(), jax.random.PRNGKey(1),
+                               phase="train")
+    tr.save_checkpoint(state, str(tmp_path / "ck"))
+    state_cont, loss_cont, _ = tr.run_epoch(
+        state, loader(), jax.random.PRNGKey(2), phase="train")
+    tr.close()
+
+    tr2 = Trainer(model, "castresume2", log_dir=str(tmp_path),
+                  compute_dtype="bfloat16")
+    restored = tr2.restore_checkpoint(str(tmp_path / "ck"))
+    assert "cast" not in restored
+    tr2._trunk_cache = trunk
+    restored, loss_res, _ = tr2.run_epoch(
+        restored, loader(), jax.random.PRNGKey(2), phase="train")
+    tr2.close()
+
+    assert loss_res == loss_cont
+    np.testing.assert_array_equal(
+        np.asarray(state_cont["params"]["decoder"]["tok_embedding"]
+                   ["table"]),
+        np.asarray(restored["params"]["decoder"]["tok_embedding"]
+                   ["table"]))
