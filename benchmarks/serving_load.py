@@ -40,7 +40,8 @@ import time
 import numpy as np
 
 SMOKE = os.environ.get("DH_LOAD_SMOKE") == "1"
-if SMOKE:
+HOST_CEILING = os.environ.get("DH_LOAD_HOST") == "1"
+if SMOKE or HOST_CEILING:
     # the axon sitecustomize overrides JAX_PLATFORMS=cpu from the
     # environment; force the CPU backend via config before first use —
     # and before importing deephumor_tpu, whose persistent-compile-cache
@@ -147,9 +148,19 @@ def run_load(batcher, template_ids, rate_rps, duration_s, seed=0):
 
 def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
                          duration_s=12.0, fractions=(0.3, 0.6, 0.85),
-                         buckets=None, hysteresis=3, **generate_kwargs):
+                         buckets=None, hysteresis=3, capacity_reps=3,
+                         windows=2, **generate_kwargs):
     """Measures single-batch capacity, then runs the open-loop sweep at
-    ``fractions`` of it. Returns (per-rate list, capacity_rps)."""
+    ``fractions`` of it. Returns (per-rate list, capacity_rps).
+
+    Hardened against link stalls the way the device legs are (VERDICT
+    r4 #2): capacity comes from the best of ``capacity_reps`` timed
+    full batches (a single timed batch swung the estimate 1644→1950
+    across sessions), and each rate runs ``windows`` independent
+    arrival processes, reporting the window with the lowest p99 (all
+    windows' percentiles are kept under ``windows_ms`` so the spread
+    is visible in the record).
+    """
     import jax
 
     from deephumor_tpu.serving import DynamicBatcher
@@ -164,24 +175,130 @@ def measure_serving_load(pipe, template_ids, max_batch=256, max_wait_ms=10.0,
                 for i in range(max_batch)]
         for f in futs:
             f.result()
-        # capacity: one more full batch, timed (compiled + warm)
-        t0 = time.perf_counter()
-        futs = [server.submit(template_ids[i % len(template_ids)])
-                for i in range(max_batch)]
-        for f in futs:
-            f.result()
-        t_batch = time.perf_counter() - t0
+        # capacity: best of N timed full batches (compiled + warm)
+        t_batch = float("inf")
+        for _ in range(max(1, capacity_reps)):
+            t0 = time.perf_counter()
+            futs = [server.submit(template_ids[i % len(template_ids)])
+                    for i in range(max_batch)]
+            for f in futs:
+                f.result()
+            t_batch = min(t_batch, time.perf_counter() - t0)
         capacity = max_batch / t_batch
 
         results = []
         for j, frac in enumerate(fractions):
-            server.batch_sizes.clear()
-            server.pad_sizes.clear()
-            r = run_load(server, template_ids, rate_rps=capacity * frac,
-                         duration_s=duration_s, seed=100 + j)
-            r["capacity_fraction"] = frac
-            results.append(r)
+            runs = []
+            for w in range(max(1, windows)):
+                server.batch_sizes.clear()
+                server.pad_sizes.clear()
+                r = run_load(server, template_ids,
+                             rate_rps=capacity * frac,
+                             duration_s=duration_s,
+                             seed=100 + j + 1000 * w)
+                runs.append(r)
+            best = min(runs, key=lambda r: r["latency_ms"]["p99"])
+            best["capacity_fraction"] = frac
+            if len(runs) > 1:
+                best["windows_ms"] = [r["latency_ms"] for r in runs]
+            results.append(best)
     return results, capacity
+
+
+def measure_host_ceiling(pipe, template_ids, buckets, reps=5,
+                         fetch_ms=25.0, **generate_kwargs):
+    """Measures the single-host serial cost per dispatched batch of the
+    MESH serving stack (VERDICT r4 #5) and the request rate it bounds.
+
+    Device decode time scales 1/N with chips; the host legs do NOT —
+    aggregate serving = min(N x device_rate, host_ceiling). Each leg is
+    measured DIRECTLY (subtracting wall clocks drowned the ~ms host
+    terms in CPU-decode variance):
+
+    - **bookkeeping**: submit -> queue -> collector -> future
+      resolution per request, driven through the real DynamicBatcher
+      with the pipeline's generate stubbed to return instantly.
+    - **gather**: the row-index build + jitted cross-chip feature
+      gather at the bucket shape (blocked — upper bound of its cost).
+    - **text**: ``np.asarray`` + per-item ``seq_to_text`` on a
+      real-shaped ``[b, max_len+1]`` id matrix.
+    - **fetch**: the device->host id-matrix round trip. On the CPU
+      mesh this is a no-copy view, which would under-count the real
+      link cost — the remote-tunnel fetch is ~25 ms/dispatch
+      (STATUS r3 §6, measured); override with ``fetch_ms``.
+
+    Returns {bucket: legs + host_ceiling_rps}.
+    """
+    import jax
+
+    from deephumor_tpu.serving import DynamicBatcher
+
+    key = jax.random.PRNGKey(7)
+    max_len = int(generate_kwargs.get("max_len", 32))
+    rng = np.random.default_rng(3)
+    out = {}
+    for b in sorted(buckets):
+        ids = [template_ids[i % len(template_ids)] for i in range(b)]
+
+        # -- bookkeeping: real batcher, stubbed device ------------------
+        class _StubPipe:
+            _row = pipe._row
+            _images = getattr(pipe, "_images", {})
+            _data_size = getattr(pipe, "_data_size", 1)
+
+            @staticmethod
+            def generate_captions(tids, key=None, pad_to=None, **kw):
+                return ["w1 w2 w3 <sep> w4 w5"] * len(tids)
+
+        with DynamicBatcher(_StubPipe(), max_batch=b, max_wait_ms=0.0,
+                            key=key, **generate_kwargs) as srv:
+            futs = [srv.submit(t) for t in ids]  # warm the path
+            for f in futs:
+                f.result()
+            t_book = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                futs = [srv.submit(t) for t in ids]
+                for f in futs:
+                    f.result()
+                t_book.append(time.perf_counter() - t0)
+        t_book = float(np.median(t_book))
+
+        # -- gather: jitted cross-chip feature gather -------------------
+        enc = pipe._stack_features(ids)
+        jax.block_until_ready(enc)  # warm/compile
+        t_gather = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(pipe._stack_features(ids))
+            t_gather.append(time.perf_counter() - t0)
+        t_gather = float(np.median(t_gather))
+
+        # -- text: id matrix -> caption strings -------------------------
+        from deephumor_tpu.experiments.inference import seq_to_text
+
+        seqs = rng.integers(6, len(pipe.vocab), size=(b, max_len + 1))
+        seqs[:, -1] = 3
+        seqs_dev = jax.device_put(seqs.astype(np.int32))
+        t_text = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            host = np.asarray(seqs_dev)
+            _ = [seq_to_text(s, pipe.vocab, delimiter=pipe.delimiter)
+                 for s in host]
+            t_text.append(time.perf_counter() - t0)
+        t_text = float(np.median(t_text))
+
+        t_host = t_book + t_gather + t_text + fetch_ms / 1e3
+        out[b] = {
+            "t_bookkeeping_ms": round(t_book * 1e3, 2),
+            "t_gather_ms": round(t_gather * 1e3, 2),
+            "t_text_ms": round(t_text * 1e3, 2),
+            "fetch_ms_assumed": fetch_ms,
+            "t_host_ms": round(t_host * 1e3, 2),
+            "host_ceiling_rps": round(b / t_host, 1),
+        }
+    return out
 
 
 def _main():
@@ -190,6 +307,38 @@ def _main():
     from deephumor_tpu.data import Vocab
     from deephumor_tpu.models import CaptioningTransformer
     from deephumor_tpu.pipeline import MemeGenerationPipeline
+
+    if HOST_CEILING:
+        # the host-ceiling measurement (VERDICT r4 #5): host-REALISTIC
+        # request shapes (word vocab, len=32, beam=5, the real bucket
+        # ladder, 300 templates) on the 8-virtual-device CPU mesh; the
+        # model body is small because the device term is measured and
+        # subtracted — only the host legs (gather dispatch, id fetch,
+        # seq_to_text, batcher bookkeeping) must be true to size.
+        # Run:  JAX_PLATFORMS=cpu \
+        #       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        #       DH_LOAD_HOST=1 python -m benchmarks.serving_load
+        from deephumor_tpu.parallel import make_mesh
+
+        vocab_size = 29184
+        model = CaptioningTransformer(
+            num_tokens=vocab_size, hid_dim=128, n_layers=2, n_heads=4,
+            pf_dim=256, max_len=50)
+        params = model.init(jax.random.PRNGKey(0))
+        vocab = Vocab([f"w{i}" for i in range(vocab_size - 6)])
+        mesh = make_mesh(model=1)
+        pipe = MemeGenerationPipeline(model, params, vocab, mesh=mesh)
+        rng = np.random.default_rng(0)
+        ids = [f"tmpl{i}" for i in range(300)]
+        pipe.add_templates(
+            ids, rng.normal(size=(300, 224, 224, 3)).astype(np.float32))
+        out = measure_host_ceiling(
+            pipe, ids, buckets=(64, 128, 256), max_len=32, beam_size=5,
+            top_k=64, attn="xla")
+        pipe.close()
+        print(json.dumps({"mesh": dict(mesh.shape),
+                          "host_ceiling": out}, indent=2))
+        return
 
     if SMOKE:
         vocab_size, hid, layers, heads, pf = 512, 128, 2, 4, 256
