@@ -600,6 +600,8 @@ class CaptioningTransformerBase:
                 anc=anc, attn_impl=attn, p_eff=p_eff,
                 return_hidden=return_hidden,
                 live_items=state.get("live"), canon=canon,
+                cross_t_real=(None if consts is None
+                              else consts.get("cross_t_real")),
             )
             return logits, dict(
                 state,
@@ -1092,7 +1094,11 @@ class CaptioningTransformer(CaptioningTransformerBase):
             params["decoder"], bs, max_positions, dtype=start_emb.dtype
         )
         valid = jnp.zeros((bs, max_positions), bool).at[:, 0].set(True)
-        cross = tfm.precompute_cross_attention(params["decoder"], spatial)
+        # packed cross-attention (DH_CROSS_PACK, WORD_PERF lever #5)
+        # needs the store's T tile-padded; decode_step widens the key
+        # mask to match and re-masks pad columns in-kernel via t_real
+        cross = tfm.precompute_cross_attention(
+            params["decoder"], spatial, pad_to_tile=tfm._CROSS_PACK > 1)
         # the reference masks all-zero encoder rows (transformers.py:480)
         enc_key_mask = ~jnp.all(spatial != 0.0, axis=-1)
 
@@ -1117,7 +1123,8 @@ class CaptioningTransformer(CaptioningTransformerBase):
             "valid": valid,
             "pos": jnp.full((bs,), pos, jnp.int32),
         }
-        return logits, state, {"cross": cross, "enc_key_mask": enc_key_mask}
+        return logits, state, {"cross": cross, "enc_key_mask": enc_key_mask,
+                               "cross_t_real": int(spatial.shape[1])}
 
 
 MODEL_REGISTRY = {

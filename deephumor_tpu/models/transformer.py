@@ -77,6 +77,17 @@ __all__ = [
 
 MASK_FILL = -1e8
 
+# DH_MHA_LEGACY=1 selects the pre-round-5 transposed-layout MHA (the
+# head-native form is the default); read once at import — both forms
+# are parity-tested, the flag exists for hardware A/Bs.
+_MHA_LEGACY = os.environ.get("DH_MHA_LEGACY") == "1"
+
+# DH_CROSS_PACK=<ng> fuses ng items per block-diagonal dot in decode
+# cross-attention (WORD_PERF lever #5; needs the tile-padded cross
+# store, which caption models build automatically when this is set).
+# 0/unset = the per-item grouped kernel.
+_CROSS_PACK = int(os.environ.get("DH_CROSS_PACK", "0") or 0)
+
 
 # ---------------------------------------------------------------------------
 # Attention / feed-forward primitives
@@ -90,6 +101,35 @@ def mha_init(key, hid_dim, dtype=jnp.float32):
         "fc_v": L.linear_init(kv, hid_dim, hid_dim, dtype),
         "fc_o": L.linear_init(ko, hid_dim, hid_dim, dtype),
     }
+
+
+def _mha_apply_legacy(params, query, key, value, n_heads, mask=None,
+                      dropout=0.0, train=False, rng=None):
+    """Transposed-layout MHA (pre-round-5): split to [bs, H, T, hd] with
+    physical transposes around the per-head einsums. Kept for the
+    hardware A/B against the head-native form (benchmarks/attn_train_ab)
+    and selectable via DH_MHA_LEGACY=1."""
+    head_dim = query.shape[-1] // n_heads
+    scale = math.sqrt(head_dim)
+
+    def split(x):
+        bs, t, d = x.shape
+        return x.reshape(bs, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = split(L.linear(params["fc_q"], query))
+    k = split(L.linear(params["fc_k"], key))
+    v = split(L.linear(params["fc_v"], value))
+
+    energy = jnp.einsum("bhqd,bhkd->bhqk", q, k) / scale
+    if mask is not None:
+        energy = jnp.where(mask[:, None, :, :], MASK_FILL, energy)
+    attn = jax.nn.softmax(energy, axis=-1)
+    if train and dropout > 0.0:
+        attn = L.dropout(rng, attn, dropout, train)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    bs, h, t, hd = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(bs, t, h * hd)
+    return L.linear(params["fc_o"], out)
 
 
 def mha_apply(params, query, key, value, n_heads, mask=None,
@@ -113,6 +153,9 @@ def mha_apply(params, query, key, value, n_heads, mask=None,
 
     Returns: ``[bs, Tq, D]``.
     """
+    if _MHA_LEGACY:
+        return _mha_apply_legacy(params, query, key, value, n_heads,
+                                 mask, dropout, train, rng)
     d_model = query.shape[-1]
     head_dim = d_model // n_heads
     scale = math.sqrt(head_dim)
@@ -628,7 +671,7 @@ def _ancestry_attention(attn_params, x, cache_k, cache_v, anc_onehot,
 def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 n_heads, cross=None, enc_key_mask=None, anc=None,
                 attn_impl="xla", p_eff=None, return_hidden=False,
-                live_items=None, canon=None):
+                live_items=None, canon=None, cross_t_real=None):
     """One incremental decode position.
 
     Args:
@@ -682,6 +725,19 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
         (logits ``[bs, num_tokens]``, updated cache)
     """
     x = token_emb_scaled + L.embed(params["pos_embedding"], pos)
+
+    # a tile-padded cross store (precompute_cross_attention(pad_to_tile=
+    # True), packed-kernel mode) carries zero K rows past cross_t_real —
+    # widen the encoder key mask so EVERY cross path masks them
+    if cross is not None and enc_key_mask is not None:
+        t_cross = next(
+            (c["ek"].shape[1] for c in cross if c is not None),
+            enc_key_mask.shape[-1])
+        if enc_key_mask.shape[-1] < t_cross:
+            enc_key_mask = jnp.pad(
+                enc_key_mask,
+                ((0, 0), (0, t_cross - enc_key_mask.shape[-1])),
+                constant_values=True)
 
     # the cache position axis is padded to the 8-sublane tile
     # (init_cache); widen validity/ancestry so every path masks the tail
@@ -805,14 +861,24 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                     cross_bias = jnp.where(
                         enc_key_mask[:, None, :], MASK_FILL, 0.0
                     ).astype(jnp.float32)
+                ek, ev = cross[i]["ek"], cross[i]["ev"]
+                g, t_c = ek.shape[0], ek.shape[1]
+                r_rows = x.shape[0] // g
+                pack = None
+                if (_CROSS_PACK > 1 and cross_t_real is not None
+                        and t_c % 8 == 0 and (n_heads * r_rows) % 8 == 0):
+                    # WORD_PERF lever #5: fuse _CROSS_PACK items into one
+                    # block-diagonal dot pair (requires the tile-padded
+                    # cross store; pad columns re-masked via t_real)
+                    pack = _CROSS_PACK
                 attn = L.linear(
                     ea["fc_o"],
                     pallas_attn.grouped_cross_attention(
-                        L.linear(ea["fc_q"], x), cross[i]["ek"],
-                        cross[i]["ev"], cross_bias,
-                        groups=cross[i]["ek"].shape[0], n_heads=n_heads,
+                        L.linear(ea["fc_q"], x), ek, ev, cross_bias,
+                        groups=g, n_heads=n_heads,
                         interpret=(attn_impl == "pallas_interpret"),
-                        live_items=live_items,
+                        live_items=live_items, pack_items=pack,
+                        t_real=cross_t_real if pack else None,
                     ),
                 )
             else:

@@ -746,3 +746,47 @@ class TestPackedCross:
             if c is not None:
                 assert c["ek"].shape[1] == t_pad
                 assert c["ev"].shape[1] == t_pad
+
+
+def test_generation_cross_pack_token_equal():
+    """DH_CROSS_PACK generation (packed cross-attention, WORD_PERF
+    lever #5 wired end-to-end: padded store + widened mask + t_real)
+    must pick the same greedy tokens as the unpacked path. The flag is
+    read at import, so each arm runs in a fresh interpreter."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os
+import numpy as np
+import jax
+# the axon sitecustomize overrides JAX_PLATFORMS; force CPU via config
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from deephumor_tpu.models import CaptioningTransformer
+
+model = CaptioningTransformer(num_tokens=64, hid_dim=32, n_layers=2,
+                              n_heads=2, pf_dim=64, max_len=12)
+params = model.init(jax.random.PRNGKey(0))
+rng = np.random.default_rng(1)
+imgs = jnp.asarray(rng.normal(size=(4, 224, 224, 3)).astype(np.float32))
+out = model.generate(params, imgs, key=jax.random.PRNGKey(7), max_len=8,
+                     beam_size=4, top_k=8, greedy=True,
+                     attn="pallas_interpret")
+print("TOKENS", np.asarray(out["chosen"]).tolist())
+"""
+    res = {}
+    for pack in ("0", "2"):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__)))
+        env = dict(os.environ, DH_CROSS_PACK=pack, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=repo + os.pathsep
+                   + os.environ.get("PYTHONPATH", ""))
+        p = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=900)
+        assert p.returncode == 0, p.stderr[-2000:]
+        line = [l for l in p.stdout.splitlines()
+                if l.startswith("TOKENS")][0]
+        res[pack] = line
+    assert res["0"] == res["2"]
