@@ -88,6 +88,13 @@ _MHA_LEGACY = os.environ.get("DH_MHA_LEGACY") == "1"
 # 0/unset = the per-item grouped kernel.
 _CROSS_PACK = int(os.environ.get("DH_CROSS_PACK", "0") or 0)
 
+# decode cross-attention block size (items per grid step). The round-5
+# isolated sweep (benchmarks/cross_sweep.py) measured 2.8 ms/layer at
+# the old default 16 vs 0.57 at 56 (G=896, r=5) — the kernel is
+# grid-issue-bound, bigger blocks amortize it. _pick_block_items falls
+# back gracefully for shapes 56 does not divide.
+_CROSS_BLOCK = int(os.environ.get("DH_CROSS_BLOCK", "16") or 16)
+
 
 # ---------------------------------------------------------------------------
 # Attention / feed-forward primitives
@@ -876,6 +883,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                     pallas_attn.grouped_cross_attention(
                         L.linear(ea["fc_q"], x), ek, ev, cross_bias,
                         groups=g, n_heads=n_heads,
+                        block_items=_CROSS_BLOCK,
                         interpret=(attn_impl == "pallas_interpret"),
                         live_items=live_items, pack_items=pack,
                         t_real=cross_t_real if pack else None,
