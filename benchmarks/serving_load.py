@@ -262,7 +262,15 @@ def measure_host_ceiling(pipe, template_ids, buckets, reps=5,
                 for f in futs:
                     f.result()
                 t_book.append(time.perf_counter() - t0)
+            t_book_many = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                futs = srv.submit_many(ids)
+                for f in futs:
+                    f.result()
+                t_book_many.append(time.perf_counter() - t0)
         t_book = float(np.median(t_book))
+        t_book_many = float(np.median(t_book_many))
 
         # -- gather: jitted cross-chip feature gather -------------------
         enc = pipe._stack_features(ids)
@@ -290,13 +298,16 @@ def measure_host_ceiling(pipe, template_ids, buckets, reps=5,
         t_text = float(np.median(t_text))
 
         t_host = t_book + t_gather + t_text + fetch_ms / 1e3
+        t_host_many = t_book_many + t_gather + t_text + fetch_ms / 1e3
         out[b] = {
             "t_bookkeeping_ms": round(t_book * 1e3, 2),
+            "t_bookkeeping_many_ms": round(t_book_many * 1e3, 2),
             "t_gather_ms": round(t_gather * 1e3, 2),
             "t_text_ms": round(t_text * 1e3, 2),
             "fetch_ms_assumed": fetch_ms,
             "t_host_ms": round(t_host * 1e3, 2),
             "host_ceiling_rps": round(b / t_host, 1),
+            "host_ceiling_rps_submit_many": round(b / t_host_many, 1),
         }
     return out
 

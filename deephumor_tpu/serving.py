@@ -156,6 +156,7 @@ class DynamicBatcher:
         self._n_ewma = None  # EWMA of dispatch batch sizes
         self._key = key if key is not None else jax.random.PRNGKey(0)
         self._queue = queue.SimpleQueue()
+        self._spill = []  # submit_many overflow (collector thread only)
         self._seq = itertools.count()
         self._closed = threading.Event()
         self.batches_dispatched = 0
@@ -187,6 +188,32 @@ class DynamicBatcher:
             return fut
         self._queue.put((template_id, fut))
         return fut
+
+    def submit_many(self, template_ids):
+        """Enqueue a client batch in ONE queue operation; returns one
+        Future per id (same order, same semantics as :meth:`submit`).
+
+        The measured mesh-serving host ceiling is dominated by
+        per-request queue hops (~0.22 ms/request, docs/SERVING.md) —
+        clients that already hold a batch should hand it over whole.
+        Dispatch batching is unchanged: the collector still splits or
+        coalesces against ``max_batch``/``max_wait_ms``, so a client
+        batch larger than ``max_batch`` spills into follow-on device
+        calls in order."""
+        if self._closed.is_set():
+            raise RuntimeError("DynamicBatcher is closed")
+        futs, good = [], []
+        for tid in template_ids:
+            fut = Future()
+            futs.append(fut)
+            if tid not in self.pipeline._row or (
+                    self.render and tid not in self.pipeline._images):
+                fut.set_exception(KeyError(f"unknown template {tid!r}"))
+            else:
+                good.append((tid, fut))
+        if good:
+            self._queue.put(good)
+        return futs
 
     def _bucket_for(self, n):
         """Smallest configured bucket that fits ``n`` requests."""
@@ -237,13 +264,31 @@ class DynamicBatcher:
         self.close()
 
     # -- collector -----------------------------------------------------------
+    def _take(self, batch, item):
+        """Folds one queue item (a single (tid, fut) or a submit_many
+        list) into ``batch``, spilling anything past max_batch for the
+        next dispatch (collector thread only)."""
+        if isinstance(item, list):
+            room = self.max_batch - len(batch)
+            batch.extend(item[:room])
+            if len(item) > room:
+                self._spill.extend(item[room:])
+        else:
+            batch.append(item)
+
     def _collect(self):
         """Blocks for the first request, then gathers up to max_batch
         for at most max_wait_s. Returns a (possibly empty) list."""
         batch = []
-        item = self._queue.get()  # block until work or wake-up
-        if item is not None:
-            batch.append(item)
+        if self._spill:  # leftovers from an oversized submit_many
+            batch = self._spill[:self.max_batch]
+            del self._spill[:self.max_batch]
+            if len(batch) >= self.max_batch:
+                return batch
+        else:
+            item = self._queue.get()  # block until work or wake-up
+            if item is not None:
+                self._take(batch, item)
         t_end = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
             remaining = t_end - time.monotonic()
@@ -255,14 +300,15 @@ class DynamicBatcher:
                 break
             if item is None:
                 break
-            batch.append(item)
+            self._take(batch, item)
         return batch
 
     def _run(self):
         while True:
             batch = self._collect()
             if not batch:
-                if self._closed.is_set() and self._queue.empty():
+                if (self._closed.is_set() and self._queue.empty()
+                        and not self._spill):
                     return
                 continue
             ids = [tid for tid, _ in batch]
@@ -291,6 +337,8 @@ class DynamicBatcher:
                     f.set_result(r)
             # the close() wake-up None may have been consumed while this
             # batch was collecting — check on every path, or a failed
-            # final batch would block _collect forever
-            if self._closed.is_set() and self._queue.empty():
+            # final batch would block _collect forever (spilled
+            # submit_many leftovers must still drain first)
+            if (self._closed.is_set() and self._queue.empty()
+                    and not self._spill):
                 return

@@ -405,3 +405,49 @@ class TestMeshServing:
         for tid, text, img in out:
             assert isinstance(text, str)
             assert img is not None and img.size == (80, 60)
+
+
+class TestSubmitMany:
+    """Batch submission API (round 5): one queue hop per client batch,
+    same dispatch semantics as per-request submit."""
+
+    def test_results_match_submit(self, pipe):
+        ids = [("a", "b", "c")[i % 3] for i in range(9)]
+        with DynamicBatcher(pipe, max_batch=16, max_wait_ms=40,
+                            key=jax.random.PRNGKey(3), **GEN) as srv:
+            texts_many = [f.result(timeout=120)
+                          for f in srv.submit_many(ids)]
+        with DynamicBatcher(pipe, max_batch=16, max_wait_ms=40,
+                            key=jax.random.PRNGKey(3), **GEN) as srv:
+            futs = [srv.submit(t) for t in ids]
+            texts_one = [f.result(timeout=120) for f in futs]
+        assert texts_many == texts_one
+
+    def test_oversized_batch_spills_in_order(self, pipe):
+        # 11 requests through max_batch=4: 3 dispatches, all resolve,
+        # order preserved
+        ids = [("a", "b", "c")[i % 3] for i in range(11)]
+        with DynamicBatcher(pipe, max_batch=4, max_wait_ms=5,
+                            **GEN) as srv:
+            texts = [f.result(timeout=120) for f in srv.submit_many(ids)]
+            assert len(texts) == 11
+            assert srv.requests_served == 11
+            assert srv.batches_dispatched >= 3
+            assert all(n <= 4 for n in srv.batch_sizes)
+
+    def test_unknown_ids_fail_their_own_future(self, pipe):
+        with DynamicBatcher(pipe, max_batch=8, max_wait_ms=5,
+                            **GEN) as srv:
+            futs = srv.submit_many(["a", "nope", "b"])
+            assert isinstance(futs[0].result(timeout=120), str)
+            with pytest.raises(KeyError):
+                futs[1].result(timeout=120)
+            assert isinstance(futs[2].result(timeout=120), str)
+
+    def test_spill_drains_on_close(self, pipe):
+        srv = DynamicBatcher(pipe, max_batch=2, max_wait_ms=5, **GEN)
+        futs = srv.submit_many([("a", "b", "c")[i % 3]
+                                for i in range(7)])
+        srv.close(timeout=120)
+        texts = [f.result(timeout=5) for f in futs]
+        assert len(texts) == 7
