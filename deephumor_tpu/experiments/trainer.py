@@ -180,7 +180,8 @@ class Trainer:
                  log_grad_norm=False, pad_index=0, schedule=None,
                  weight_decay=0.0, phases=("train", "val"), donate=False,
                  compute_dtype=None, rectangular=False, rng_impl=None,
-                 log_flush_every=64, prefetch=2):
+                 log_flush_every=64, prefetch=2,
+                 cast_cache=False):
         self.model = model
         self.pad_index = pad_index
         self.log_grad_norm = log_grad_norm
@@ -233,6 +234,15 @@ class Trainer:
         # under device compute instead of serializing with it.
         # 0 = fully synchronous (the r4 behavior).
         self.prefetch = max(0, int(prefetch))
+        # cast_cache=True carries a pre-cast compute-dtype decoder copy
+        # in train state and re-emits it from the optimizer update
+        # instead of casting inside the forward. Built as a TRAIN_PERF
+        # lever and measured a REGRESSION on hardware (bf16 3550 ->
+        # 3194 ex/s, tuned 6753 -> 6193): XLA fuses the forward-time
+        # cast into its consumers, so the explicit copy only added its
+        # own materialization + state traffic. Default OFF; kept for
+        # the measured record and for backends without cast fusion.
+        self.cast_cache = bool(cast_cache)
 
         stamp = datetime.now().strftime("%d.%m.%Y-%H:%M:%S")
         self.experiment_name = f"{experiment_title}@{stamp}"
@@ -263,7 +273,8 @@ class Trainer:
             "opt_state": self._tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        if self.compute_dtype is not None and "decoder" in params:
+        if (self.compute_dtype is not None and self.cast_cache
+                and "decoder" in params):
             # derived compute-dtype decoder copy (cast cache); rebuilt by
             # run_epoch after a restore (checkpoints persist masters only)
             state["cast"] = _cast_tree(params["decoder"], self.compute_dtype)
@@ -400,7 +411,8 @@ class Trainer:
         # upcast of the same bf16 cotangent) and the NEXT copy is cast
         # from the optimizer output, so XLA fuses the cast into the Adam
         # update pass that already reads/writes those tables.
-        use_cast_cache = self.compute_dtype is not None
+        use_cast_cache = (self.compute_dtype is not None
+                          and self.cast_cache)
         cast_dt = self.compute_dtype
 
         def cast_decoder(params):

@@ -679,7 +679,7 @@ def test_cast_cache_resume_roundtrip(tmp_path):
                                   n_heads=4, pf_dim=48, max_len=50)
 
     tr = Trainer(model, "castresume", log_dir=str(tmp_path),
-                 compute_dtype="bfloat16")
+                 compute_dtype="bfloat16", cast_cache=True)
     state = tr.init_state(jax.random.PRNGKey(0))
     assert "cast" in state
     tr._trunk_cache = trunk
@@ -691,7 +691,7 @@ def test_cast_cache_resume_roundtrip(tmp_path):
     tr.close()
 
     tr2 = Trainer(model, "castresume2", log_dir=str(tmp_path),
-                  compute_dtype="bfloat16")
+                  compute_dtype="bfloat16", cast_cache=True)
     restored = tr2.restore_checkpoint(str(tmp_path / "ck"))
     assert "cast" not in restored
     tr2._trunk_cache = trunk
