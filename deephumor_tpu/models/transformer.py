@@ -77,10 +77,15 @@ __all__ = [
 
 MASK_FILL = -1e8
 
-# DH_MHA_LEGACY=1 selects the pre-round-5 transposed-layout MHA (the
-# head-native form is the default); read once at import — both forms
-# are parity-tested, the flag exists for hardware A/Bs.
-_MHA_LEGACY = os.environ.get("DH_MHA_LEGACY") == "1"
+# MHA layout selection, read once at import; both forms are
+# parity-tested. The transposed (split/merge) form is the DEFAULT: the
+# head-native dot_general form measured neutral in the isolated
+# decoder fwd+bwd A/B but 1.5-3.5% SLOWER in the full train step
+# (bf16 3523.7 vs 3404.9 ex/s, tuned 6605.8 vs 6502.3 — bench legs,
+# 2026-08-21, same session); XLA:TPU schedules the explicit transposes
+# better than its internal dot-operand relayouts here. DH_MHA_LEGACY=0
+# selects the head-native form for re-measurement.
+_MHA_LEGACY = os.environ.get("DH_MHA_LEGACY", "1") != "0"
 
 # DH_CROSS_PACK=<ng> fuses ng items per block-diagonal dot in decode
 # cross-attention (WORD_PERF lever #5; needs the tile-padded cross
@@ -112,10 +117,11 @@ def mha_init(key, hid_dim, dtype=jnp.float32):
 
 def _mha_apply_legacy(params, query, key, value, n_heads, mask=None,
                       dropout=0.0, train=False, rng=None):
-    """Transposed-layout MHA (pre-round-5): split to [bs, H, T, hd] with
-    physical transposes around the per-head einsums. Kept for the
-    hardware A/B against the head-native form (benchmarks/attn_train_ab)
-    and selectable via DH_MHA_LEGACY=1."""
+    """Transposed-layout MHA (the DEFAULT): split to [bs, H, T, hd]
+    with physical transposes around the per-head einsums. Measured
+    faster in the full train step than the head-native dot_general form
+    (see the _MHA_LEGACY note); A/B via DH_MHA_LEGACY=0 /
+    benchmarks/attn_train_ab."""
     head_dim = query.shape[-1] // n_heads
     scale = math.sqrt(head_dim)
 
