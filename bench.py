@@ -292,12 +292,18 @@ def _step_flops(step, *args):
         return None
 
 
-def bench_epoch(n_captions=30 * 256, epochs=3):
+def bench_epoch(n_captions=120 * 256, epochs=4):
     """End-to-end tuned-train epoch rate (VERDICT r3 #3): the real
     disk -> BatchIterator -> run_epoch path at the bench config, with a
     synthetic trunk-feature cache (the one-time ResNet encode is not
     what this measures). Warm-epoch examples/s; compare against
-    train_tuned_examples_s (device-only, pre-staged batch)."""
+    train_tuned_examples_s (device-only, pre-staged batch).
+
+    120 steps/epoch: the old 30-step epochs ran ~1.5 s each, small
+    enough that one link stall or the per-epoch dispatch warmup set the
+    number (77-88% readings of the same path that measures 98% of
+    device rate at 390 steps — benchmarks/epoch_bench.py at 100k
+    captions)."""
     from benchmarks.epoch_bench import run as epoch_run
 
     out = epoch_run(n_captions, epochs=epochs, synth_trunk=True)
