@@ -106,6 +106,20 @@ def make_handler(caption_srv, meme_srv):
                     }), "application/json")
                 elif url.path == "/caption" and tid:
                     self._send(200, caption_srv.submit(tid).result(120))
+                elif url.path == "/captions" and q.get("template"):
+                    # batch route: repeated ?template= params, one queue
+                    # hop total (serving.submit_many; per-id failures
+                    # surface in the JSON instead of failing the batch)
+                    futs = caption_srv.submit_many(q["template"])
+                    out = []
+                    for t, f in zip(q["template"], futs):
+                        try:
+                            out.append({"template": t,
+                                        "caption": f.result(120)})
+                        except KeyError:
+                            out.append({"template": t,
+                                        "error": "unknown template"})
+                    self._send(200, json.dumps(out), "application/json")
                 elif url.path == "/meme" and tid:
                     text, img = meme_srv.submit(tid).result(120)
                     buf = io.BytesIO()

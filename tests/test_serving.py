@@ -135,6 +135,13 @@ def test_http_server_end_to_end():
     health = json.loads(urllib.request.urlopen(
         f"{base}/healthz", timeout=30).read())
     assert health["ok"] and health["requests"] >= 2
+    # batch route (submit_many): repeated params, per-id failure in JSON
+    rows = json.loads(urllib.request.urlopen(
+        f"{base}/captions?template=one&template=zzz&template=two",
+        timeout=120).read())
+    assert [r["template"] for r in rows] == ["one", "zzz", "two"]
+    assert "caption" in rows[0] and "caption" in rows[2]
+    assert rows[1].get("error") == "unknown template"
     import urllib.error
     try:
         urllib.request.urlopen(f"{base}/caption?template=zzz", timeout=120)
