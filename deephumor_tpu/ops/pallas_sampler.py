@@ -43,6 +43,13 @@ import os
 # opt-in only
 _WARMSTART = os.environ.get("DH_SAMPLER_WARMSTART", "0") == "1"
 
+# where the standalone sampler gets the drawn ids' raw logits:
+# "gather" (default) recomputes them outside via a [rows, V] HBM
+# take_along_axis; "kernel" emits them from the kernel (num_draws
+# hit+max passes over the VMEM block). Read once at import — it changes
+# the traced program.
+_SAMPLER_VALS = os.environ.get("DH_SAMPLER_VALS", "gather")
+
 # plain Python literals: jnp scalars at module level would be captured as
 # constants by the kernel tracer (pallas requires literals or ref inputs)
 _NEG_LARGE = -3.0e38
@@ -67,6 +74,20 @@ def _kernel(seed_ref, invt_ref, logits_ref, ids_ref, *,
     logits = logits_ref[:].astype(jnp.float32)  # [rows, V]
     _sample_body(invt_ref, logits, low_bits, ids_ref, top_k=top_k,
                  num_draws=num_draws, unk_index=unk_index, vocab=vocab)
+
+
+def _kernel_with_vals(seed_ref, invt_ref, logits_ref, ids_ref, vals_ref, *,
+                      top_k, num_draws, unk_index, vocab):
+    # standalone sampler emitting the drawn ids' raw logits in-kernel
+    # (DH_SAMPLER_VALS=kernel): kills the outside [rows, V] HBM gather +
+    # its OOB-validation chain, at the cost of num_draws hit+max passes
+    # over the VMEM-resident [block, V] logits
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    low_bits = 15 if logits_ref.dtype == jnp.bfloat16 else 0
+    logits = logits_ref[:].astype(jnp.float32)
+    _sample_body(invt_ref, logits, low_bits, ids_ref, vals_ref,
+                 top_k=top_k, num_draws=num_draws, unk_index=unk_index,
+                 vocab=vocab)
 
 
 def _kernel_fused_classifier(seed_ref, invt_ref, x_ref, w_ref, b_ref,
@@ -325,8 +346,10 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
             (jnp.asarray(live_rows, jnp.int32) + block - 1) // block,
             1, n_blocks)
         grid = (nlive,)
+    extract_vals = _SAMPLER_VALS == "kernel"
     kernel = functools.partial(
-        _kernel, top_k=top_k, num_draws=num_draws, unk_index=unk_index,
+        _kernel_with_vals if extract_vals else _kernel,
+        top_k=top_k, num_draws=num_draws, unk_index=unk_index,
         vocab=vocab,
     )
     if interpret:
@@ -341,7 +364,8 @@ def fused_topk_gumbel_sample(logits, seed, inv_temperature, *, top_k,
         ctx = contextlib.nullcontext()
     with ctx:
         return _call(kernel, grid, block, vocab, out_cols, padded_rows,
-                     rows, num_draws, logits, seed, inv_temperature)
+                     rows, num_draws, logits, seed, inv_temperature,
+                     extract_vals=extract_vals)
 
 
 @functools.partial(
@@ -425,8 +449,15 @@ def fused_classifier_topk_gumbel_sample(x, w, b, seed, inv_temperature, *,
 
 
 def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
-          num_draws, logits, seed, inv_temperature):
-    [ids] = pl.pallas_call(
+          num_draws, logits, seed, inv_temperature, extract_vals=False):
+    out_spec = pl.BlockSpec((block, out_cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [out_spec, out_spec] if extract_vals else [out_spec]
+    out_shape = [jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32)]
+    if extract_vals:
+        out_shape.append(
+            jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.float32))
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -435,13 +466,8 @@ def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
             pl.BlockSpec((block, vocab), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block, out_cols), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((padded_rows, out_cols), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20,
         ),
@@ -450,8 +476,13 @@ def _call(kernel, grid, block, vocab, out_cols, padded_rows, rows,
         jnp.asarray(inv_temperature, jnp.float32).reshape(1),
         logits,
     )
+    if extract_vals:
+        ids, vals = out
+        return ids[:rows, :num_draws], vals[:rows, :num_draws]
+    [ids] = out
     ids = ids[:rows, :num_draws]
-    # drawn ids' raw logits recomputed outside (see the fused variant)
+    # drawn ids' raw logits recomputed outside (see the fused variant —
+    # and DH_SAMPLER_VALS=kernel for the in-kernel alternative)
     vals = jnp.take_along_axis(
         logits[:rows].astype(jnp.float32), ids, axis=1)
     return ids, vals

@@ -189,3 +189,27 @@ def test_warm_start_branch_exact_topk(monkeypatch):
             support_ok(mat[r], ids[r])
             # distinct draws (without replacement)
             assert len(set(ids[r])) == 4
+
+
+def test_kernel_vals_match_gather(monkeypatch):
+    """DH_SAMPLER_VALS=kernel: the in-kernel drawn-value extraction must
+    produce the same (ids, vals) as the default outside gather. The flag
+    is read at trace time; V=1027 below is unique to this test so the
+    jit cache cannot serve a stale trace."""
+    import deephumor_tpu.ops.pallas_sampler as ps
+
+    rng = np.random.default_rng(11)
+    logits = rng.normal(size=(24, 1027)).astype(np.float32)
+
+    outs = {}
+    for mode in ("gather", "kernel"):
+        monkeypatch.setattr(ps, "_SAMPLER_VALS", mode)
+        ids, vals = ps.fused_topk_gumbel_sample(
+            jnp.asarray(logits), 7, 1.0, top_k=16, num_draws=5,
+            block_rows=8, interpret=True)
+        outs[mode] = (np.asarray(ids), np.asarray(vals))
+        ps.fused_topk_gumbel_sample.clear_cache()
+
+    np.testing.assert_array_equal(outs["gather"][0], outs["kernel"][0])
+    np.testing.assert_allclose(outs["gather"][1], outs["kernel"][1],
+                               atol=1e-6)
