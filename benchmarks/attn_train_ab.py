@@ -7,10 +7,11 @@ Adam, so compiles are fast and the ~0.6-2 ms/step attention-relayout
 delta is a visible fraction. Device op time comes from a trace, immune
 to the tunnel's per-dispatch latency.
 
-Run (each arm is a fresh process — the layout flag is read at import):
+Run (each arm is a fresh process — the layout flag is read at import;
+the transposed/legacy form is the DEFAULT since the full-step A/B):
 
-    python -m benchmarks.attn_train_ab              # head-native arm
-    DH_MHA_LEGACY=1 python -m benchmarks.attn_train_ab   # legacy arm
+    python -m benchmarks.attn_train_ab                   # legacy arm
+    DH_MHA_LEGACY=0 python -m benchmarks.attn_train_ab   # head-native arm
 """
 
 import json

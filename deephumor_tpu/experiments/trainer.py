@@ -62,27 +62,52 @@ def _prefetch_iter(iterable, prepare, rng, depth):
     """
     q = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def _put(item):
+        # bounded put that gives up when the consumer is gone — a plain
+        # q.put on the full queue would block this thread forever (and
+        # pin its prepared device batches) after an abnormal consumer
+        # exit (e.g. the divergence guard raising mid-epoch)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce():
         r = rng
         try:
             for batch in iterable:
                 batch, n, sub, r = prepare(batch, r)
-                q.put((batch, n, sub))
-            q.put(done)
+                if not _put((batch, n, sub)):
+                    return
+            _put(done)
         except BaseException as e:  # noqa: BLE001 - re-raised on consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=_produce, daemon=True,
                          name="dh-epoch-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # abnormal exit (step raised / generator abandoned): release the
+        # producer and drop any prepared batches it queued
+        stop.set()
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _cast_tree(tree, dt):
@@ -433,10 +458,7 @@ class Trainer:
                 # decoder grads come out in the compute dtype; the
                 # optimizer runs on f32 (same values the cast seam's
                 # backward produced before)
-                grads = jax.tree.map(
-                    lambda g: g.astype(jnp.float32)
-                    if jnp.issubdtype(g.dtype, jnp.floating) else g,
-                    grads)
+                grads = _cast_tree(grads, jnp.float32)
             grad_norm = optax.global_norm(grads)
             updates, opt_state = tx.update(grads, state["opt_state"], params)
             # apply optimizer updates on top of the BN-stat-advanced

@@ -879,6 +879,7 @@ def decode_step(params, token_emb_scaled, pos, cache, self_key_valid,
                 r_rows = x.shape[0] // g
                 pack = None
                 if (_CROSS_PACK > 1 and cross_t_real is not None
+                        and g % _CROSS_PACK == 0
                         and t_c % 8 == 0 and (n_heads * r_rows) % 8 == 0):
                     # WORD_PERF lever #5: fuse _CROSS_PACK items into one
                     # block-diagonal dot pair (requires the tile-padded

@@ -705,3 +705,48 @@ def test_cast_cache_resume_roundtrip(tmp_path):
                    ["table"]),
         np.asarray(restored["params"]["decoder"]["tok_embedding"]
                    ["table"]))
+
+
+def test_prefetch_producer_released_on_step_failure(tiny_model, tmp_path):
+    """A step exception mid-epoch must not leave the producer thread
+    blocked on the full queue (it would pin device batches for the
+    process lifetime — review r5)."""
+    import threading
+    import time as _time
+
+    rng = np.random.default_rng(4)
+    batches = []
+    for _ in range(8):
+        caps = rng.integers(6, VOCAB, (4, 7)).astype(np.int32)
+        caps[:, -1] = 3
+        batches.append({
+            "captions": caps,
+            "images": rng.normal(size=(4, 32, 32, 3)).astype(np.float32),
+            "labels": rng.integers(6, VOCAB, (4, 3)).astype(np.int32),
+        })
+
+    trainer = Trainer(tiny_model, "pfleak", log_dir=str(tmp_path),
+                      prefetch=2)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    trainer._build_steps()
+    real_step = trainer._train_step
+    calls = [0]
+
+    def failing_step(st, b, k):
+        calls[0] += 1
+        if calls[0] >= 2:
+            raise RuntimeError("boom")
+        return real_step(st, b, k)
+
+    trainer._train_step = failing_step
+    with pytest.raises(RuntimeError, match="boom"):
+        trainer.run_epoch(state, batches, jax.random.PRNGKey(1),
+                          phase="train")
+    deadline = _time.time() + 10
+    while _time.time() < deadline and any(
+            t.name == "dh-epoch-prefetch" and t.is_alive()
+            for t in threading.enumerate()):
+        _time.sleep(0.2)
+    assert not any(t.name == "dh-epoch-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+    trainer.close()
