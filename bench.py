@@ -51,7 +51,12 @@ VOCAB_SMALL = 8192
 HID, LAYERS, HEADS, PF = 512, 6, 8, 2048
 BEAM = 5
 MAX_LEN = 32
-BATCH = 896  # memes per call (224-2240 swept; plateau 896-1792)
+BATCH = 896   # memes per call for the e2e/latency legs (224-2240 swept)
+# headline generation batch: the round-5 re-sweep on the final build
+# reads 1792 consistently ~2% above 896 (2925.5 vs 2872.8 best,
+# 2919.5 vs 2845 median) — the per-step engine stalls amortize over
+# more rows. e2e keeps 896 (3000-item sweeps would pad a 1208 tail).
+GEN_BATCH = 1792
 EOS_BIAS = 1.5  # mean generated length ~14 tokens (see module docstring)
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE.json north star / v5e-8 chips
 
@@ -454,11 +459,12 @@ def main():
             errors[name] = f"{type(e).__name__}: {e}"[:200]
             return default
 
-    word_capt_s, (model, params) = bench_generation(VOCAB)
+    word_capt_s, (model, params) = bench_generation(VOCAB,
+                                                    batch=GEN_BATCH)
     p50_ms = guard("p50", lambda: bench_latency(model, params))
     word_small_capt_s = guard(
         "word_v8192",
-        lambda: bench_generation(VOCAB_SMALL, iters=6)[0])
+        lambda: bench_generation(VOCAB_SMALL, batch=BATCH, iters=6)[0])
     char_capt_s = guard("char", bench_char)
     train_ex_s, _ = guard("train", bench_train, default=(None, None))
     train_bf16_ex_s, _ = guard(
