@@ -13,10 +13,9 @@ Secondary driver-visible numbers in the same JSON line:
     notebook cells 35/43 defaults; 4 of the 8 reference checkpoints),
   - train_examples_s: trunk-cached jitted train step at the word config,
   - e2e_memes_s: the BASELINE config-5 product path — 300-template sweep,
-    encode + batched generate + host-side PIL rendering overlapped. NOTE:
-    this box has ONE cpu core, so rendering (~85/s/core, embarrassingly
-    parallel across host cores) is the binding constraint here, not the
-    TPU; e2e_captions_s is the same sweep without rendering.
+    encode + batched generate + host-side PIL rendering overlapped
+    (spawn process pool across available cores; best-of-3 full sweeps);
+    e2e_captions_s is the same sweep without rendering.
 
 Serving design being measured: per-template ResNet features are encoded
 once and cached (300 templates, amortized to ~0), and the decoder runs the
@@ -54,8 +53,9 @@ MAX_LEN = 32
 BATCH = 896   # memes per call for the e2e/latency legs (224-2240 swept)
 # headline generation batch: the round-5 re-sweep on the final build
 # reads 1792 consistently ~2% above 896 (2925.5 vs 2872.8 best,
-# 2919.5 vs 2845 median) — the per-step engine stalls amortize over
-# more rows. e2e keeps 896 (3000-item sweeps would pad a 1208 tail).
+# 2919.5 vs 2845 median; 2688 rolls off to 2910.3/2879.9) — the
+# per-step engine stalls amortize over more rows up to 1792. e2e keeps
+# 896 (3000-item sweeps would pad a 1208 tail).
 GEN_BATCH = 1792
 EOS_BIAS = 1.5  # mean generated length ~14 tokens (see module docstring)
 PER_CHIP_TARGET = 10_000 / 8  # BASELINE.json north star / v5e-8 chips
