@@ -464,7 +464,8 @@ def main():
     p50_ms = guard("p50", lambda: bench_latency(model, params))
     word_small_capt_s = guard(
         "word_v8192",
-        lambda: bench_generation(VOCAB_SMALL, batch=BATCH, iters=6)[0])
+        lambda: bench_generation(VOCAB_SMALL, batch=GEN_BATCH,
+                                 iters=6)[0])
     char_capt_s = guard("char", bench_char)
     train_ex_s, _ = guard("train", bench_train, default=(None, None))
     train_bf16_ex_s, _ = guard(
