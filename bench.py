@@ -297,18 +297,19 @@ def _step_flops(step, *args):
         return None
 
 
-def bench_epoch(n_captions=120 * 256, epochs=4):
+def bench_epoch(n_captions=240 * 256, epochs=4):
     """End-to-end tuned-train epoch rate (VERDICT r3 #3): the real
     disk -> BatchIterator -> run_epoch path at the bench config, with a
     synthetic trunk-feature cache (the one-time ResNet encode is not
     what this measures). Warm-epoch examples/s; compare against
     train_tuned_examples_s (device-only, pre-staged batch).
 
-    120 steps/epoch: the old 30-step epochs ran ~1.5 s each, small
+    240 steps/epoch: the old 30-step epochs ran ~1.5 s each, small
     enough that one link stall or the per-epoch dispatch warmup set the
-    number (77-88% readings of the same path that measures 98% of
-    device rate at 390 steps — benchmarks/epoch_bench.py at 100k
-    captions)."""
+    number (77-88% readings of the same path that measures 98-117% of
+    the device-leg window at 390 steps — benchmarks/epoch_bench.py at
+    100k captions); 120 steps still swung 5.1-6.3k ex/s between solo
+    runs."""
     from benchmarks.epoch_bench import run as epoch_run
 
     out = epoch_run(n_captions, epochs=epochs, synth_trunk=True)
