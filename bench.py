@@ -496,6 +496,13 @@ def main():
     word_capt_s, (model, params) = bench_generation(VOCAB,
                                                     batch=GEN_BATCH)
     p50_ms = guard("p50", lambda: bench_latency(model, params))
+    # release the headline model's device buffers before the remaining
+    # legs — keeping them alive through the train/epoch legs pressured
+    # HBM (the in-process epoch leg read 5.3-5.5k ex/s vs 7.7k solo)
+    del model, params
+    import gc
+
+    gc.collect()
     word_small_capt_s = guard(
         "word_v8192",
         lambda: bench_generation(VOCAB_SMALL, batch=GEN_BATCH,
